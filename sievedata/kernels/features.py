@@ -1,0 +1,129 @@
+"""Pairwise duplicate-detection features.
+
+Reproduces the reference's header + line-assignment features
+(/root/reference/app/features.py:11-101) on the from-scratch Jaro-Winkler and
+Hungarian kernels.  Inputs are plain dicts (one per document / line) as
+produced by the span parse stage; all numerics are coerced like the
+reference's ``_to_float`` (None/Decimal/str → float, default 0.0).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+from sievedata.kernels.assignment import linear_sum_assignment
+from sievedata.kernels.similarity import jaro_winkler
+
+
+def _to_float(value: Any, default: float = 0.0) -> float:
+    """None/Decimal/str → float with default.  Ref: app/features.py:11-17."""
+    if value is None:
+        return default
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return default
+
+
+def _string_distance(a: str, b: str) -> float:
+    return 1.0 - jaro_winkler(a, b)
+
+
+def header_features(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, float]:
+    """Header-level pair features.  Ref: app/features.py:20-40.
+
+    ``invoice_date`` values must support subtraction yielding ``.days``
+    (datetime.date), like the reference.
+    """
+    total_a = _to_float(a.get("total"))
+    total_b = _to_float(b.get("total"))
+    feats: Dict[str, float] = {}
+    feats["abs_total_diff_pct"] = float(abs(total_a - total_b) / max(abs(total_a), 1.0))
+    feats["days_diff"] = float(abs((a.get("invoice_date") - b.get("invoice_date")).days))
+    feats["same_po"] = float(
+        1.0 if a.get("po_number") and a.get("po_number") == b.get("po_number") else 0.0
+    )
+    feats["same_currency"] = float(1.0 if a.get("currency") == b.get("currency") else 0.0)
+    feats["same_tax_total"] = float(
+        1.0
+        if round(float(a.get("tax_total") or 0.0), 2) == round(float(b.get("tax_total") or 0.0), 2)
+        else 0.0
+    )
+    feats["bank_change_flag"] = float(
+        1.0
+        if a.get("remit_account_hash")
+        and b.get("remit_account_hash")
+        and a.get("remit_account_hash") != b.get("remit_account_hash")
+        else 0.0
+    )
+    feats["payee_name_change_flag"] = float(
+        1.0 if (a.get("remit_name") or "") != (b.get("remit_name") or "") else 0.0
+    )
+    feats["invnum_edit"] = 1.0 - jaro_winkler(
+        a.get("invoice_number_norm", ""), b.get("invoice_number_norm", "")
+    )
+    return feats
+
+
+def line_assign_features(
+    a_lines: List[Dict[str, Any]],
+    b_lines: List[Dict[str, Any]],
+    alpha: float = 0.7,
+    beta: float = 0.2,
+    gamma: float = 0.1,
+) -> Dict[str, float]:
+    """Optimal line-item matching features via Hungarian assignment on
+    0.7·desc_dist + 0.2·capped Δunit_price + 0.1·capped Δqty.
+    Ref: app/features.py:47-101, including the empty-side fallback.
+    """
+    if not a_lines or not b_lines:
+        total_amount = sum((_to_float(x.get("amount")) for x in a_lines), 0.0)
+        unmatched = float(total_amount)
+        unmatched_amount_frac = (
+            float(unmatched / max(total_amount, 1.0)) if total_amount else 1.0
+        )
+        return {
+            "line_coverage_pct": 0.0,
+            "unmatched_amount_frac": unmatched_amount_frac,
+            "count_new_items": float(len(a_lines)),
+            "median_unit_price_diff": unmatched,
+        }
+
+    n, m = len(a_lines), len(b_lines)
+    cost = np.zeros((n, m), dtype=float)
+    for i, al in enumerate(a_lines):
+        desc_a = al.get("desc_norm", "")
+        up_a = _to_float(al.get("unit_price"))
+        qty_a = _to_float(al.get("qty"))
+        for j, bl in enumerate(b_lines):
+            desc_cost = _string_distance(desc_a, bl.get("desc_norm", ""))
+            up_b = _to_float(bl.get("unit_price"))
+            qty_b = _to_float(bl.get("qty"))
+            up_term = min(abs(up_a - up_b) / max(abs(up_a), 1.0), 5.0)
+            qty_term = min(abs(qty_a - qty_b) / max(abs(qty_a), 1.0), 5.0)
+            cost[i, j] = alpha * desc_cost + beta * up_term + gamma * qty_term
+
+    row_ind, col_ind = linear_sum_assignment(cost)
+    matched_rows = set(row_ind.tolist())
+
+    matched_amount = sum(_to_float(a_lines[i].get("amount")) for i in matched_rows)
+    total_amount = sum(_to_float(line.get("amount")) for line in a_lines)
+    unmatched_amount = max(total_amount - matched_amount, 0.0)
+    unmatched_amount_frac = (
+        float(unmatched_amount / max(total_amount, 1.0)) if total_amount else 1.0
+    )
+    coverage = float(1.0 - unmatched_amount_frac)
+
+    med_diffs = [
+        abs(_to_float(a_lines[i].get("unit_price")) - _to_float(b_lines[j].get("unit_price")))
+        for i, j in zip(row_ind, col_ind)
+    ]
+    median_unit_price_diff = float(np.median(med_diffs)) if med_diffs else 0.0
+
+    return {
+        "line_coverage_pct": coverage,
+        "unmatched_amount_frac": unmatched_amount_frac,
+        "count_new_items": float(max(0, n - len(matched_rows))),
+        "median_unit_price_diff": median_unit_price_diff,
+    }
