@@ -1,0 +1,325 @@
+"""Deterministic synthetic documents fixture (FIXTURES.md).
+
+Generates the span-structured documents table of BASELINE.json's
+``input_hint``, a media catalog, and an unshifted baseline table for profile
+learning.  Fully deterministic given ``seed``: per-row randomness is
+counter-based (``np.random.SeedSequence((seed, vendor_idx, seq, tag))``), so
+rows can be generated independently, in any order, in parallel shards.
+
+Planted violation classes (modulo rules on per-vendor ``seq``, first match
+wins): exact-dup twin (97), near-dup twin (89), out-of-range total (101),
+referential miss (103), missing required field (107), credit note (109);
+drifted partitions: ``vendor_idx % 50 == 7`` (current-table totals drawn with
+``mu_v + 0.8``).
+"""
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+from datetime import date, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sievedata.schema import DOCUMENTS, MEDIA_CATALOG
+
+SEED_DEFAULT = 42
+SIGMA = 0.25
+BASE_DATE = date(2025, 1, 1)
+
+_ADJ = ["paper", "printer", "toner", "desk", "cable", "monitor", "chair", "lamp"]
+_NOUN = ["a4", "ink", "hdmi", "usb", "stand", "mount", "filter", "tray"]
+VOCAB = [f"{a} {b} {i}" for i, (a, b) in enumerate(itertools.product(_ADJ, _NOUN))]
+assert len(VOCAB) == 64
+
+CURRENCIES = ["USD", "EUR", "GBP"]
+TERMS = ["Net 15", "Net 30", "Net 45"]
+
+
+def vendor_mu(vendor_idx: int) -> float:
+    return 4.0 + (vendor_idx % 37) / 10.0
+
+
+def vendor_theoretical_stats(vendor_idx: int) -> tuple[float, float]:
+    mu = vendor_mu(vendor_idx)
+    mean = float(np.exp(mu + SIGMA**2 / 2))
+    std = float(mean * np.sqrt(np.exp(SIGMA**2) - 1.0))
+    return mean, std
+
+
+def is_drift_vendor(vendor_idx: int) -> bool:
+    return vendor_idx % 50 == 7
+
+
+def violation_class(seq: int) -> str | None:
+    """First matching modulo rule wins (FIXTURES.md §1.3)."""
+    if seq % 97 == 0:
+        return "dup"
+    if seq % 89 == 0:
+        return "near"
+    if seq % 101 == 0:
+        return "outlier"
+    if seq % 103 == 0:
+        return "refmiss"
+    if seq % 107 == 0:
+        return "missing"
+    if seq % 109 == 0:
+        return "credit"
+    return None
+
+
+def zipf_counts(n_docs: int, n_vendors: int, s: float = 1.1) -> np.ndarray:
+    w = np.arange(1, n_vendors + 1, dtype=np.float64) ** (-s)
+    counts = np.floor(n_docs * w / w.sum()).astype(np.int64)
+    counts = np.maximum(counts, 1)
+    deficit = n_docs - int(counts.sum())
+    if deficit > 0:
+        counts[:deficit] += 1
+    return counts
+
+
+def _rng(seed: int, vendor_idx: int, seq: int, tag: int) -> np.random.Generator:
+    return np.random.Generator(np.random.PCG64(np.random.SeedSequence((seed, vendor_idx, seq, tag))))
+
+
+def _pdf_hash(doc_id: str) -> str:
+    return hashlib.sha256(doc_id.encode()).hexdigest()[:12]
+
+
+def _invoice_number(vendor_idx: int, seq: int, style: int) -> str:
+    base = f"{vendor_idx:04d}-{seq:06d}"
+    if style == 0:
+        return f"INV-{base}"
+    if style == 1:
+        return f"inv-{vendor_idx:04d}-{seq:06d}"
+    if style == 2:
+        return f"INVOICE-{base}"
+    if style == 3:
+        return f"INV {vendor_idx:04d}/{seq:06d}"
+    return f"INV-{vendor_idx:04d}-0{seq:06d}"  # style 4: extra zero padding
+
+
+def _base_invnum_style(rng: np.random.Generator) -> int:
+    if rng.random() < 0.10:
+        return int(rng.integers(1, 5))
+    return 0
+
+
+def make_doc(
+    seed: int, vendor_idx: int, seq: int, table: str
+) -> tuple[dict, dict | None]:
+    """Generate one document (and its planted twin, if any) as field dicts.
+
+    ``table`` is "current" (violations + drift planted) or "baseline"
+    (clean, unshifted — the profile-learning input).
+    """
+    tag = 0 if table == "baseline" else 1
+    rng = _rng(seed, vendor_idx, seq, tag)
+    vendor_id = f"V{vendor_idx:04d}"
+    doc_id = f"{vendor_id}:{seq:06d}"
+    vclass = violation_class(seq) if table == "current" else None
+
+    # invnum style is the FIRST draw so other rows can recompute it cheaply
+    # (credit notes copy the previous seq's invoice number)
+    style = _base_invnum_style(rng)
+
+    mu = vendor_mu(vendor_idx)
+    if table == "current" and is_drift_vendor(vendor_idx):
+        mu += 0.8
+    target_total = float(np.round(rng.lognormal(mu, SIGMA), 2))
+    if vclass == "outlier":
+        mean_t, std_t = vendor_theoretical_stats(vendor_idx)
+        target_total = float(np.round(mean_t + 8.0 * std_t, 2))
+
+    # line items: rescale unit prices so Σ amount == target_total (±rounding)
+    k = int(rng.integers(1, 9))
+    descs = [VOCAB[int(rng.integers(0, 64))] for _ in range(k)]
+    qtys = [int(rng.integers(1, 21)) for _ in range(k)]
+    ups = np.array([round(float(rng.uniform(2.0, 200.0)), 2) for _ in range(k)])
+    raw = np.array(qtys) * ups
+    scale = target_total / raw.sum() if raw.sum() else 1.0
+    ups = np.round(ups * scale, 4)
+    amounts = np.round(np.array(qtys) * ups, 2)
+    total = float(np.round(amounts.sum(), 2))
+    skus = [
+        f"SKU-{int(rng.integers(0, 512)):04d}" if rng.random() < 0.7 else ""
+        for _ in range(k)
+    ]
+    lines = [
+        {"desc": d, "qty": q, "unit_price": float(u), "amount": float(a), "sku": s}
+        for d, q, u, a, s in zip(descs, qtys, ups, amounts, skus)
+    ]
+
+    invoice_number = _invoice_number(vendor_idx, seq, style)
+    inv_date = BASE_DATE + timedelta(days=int(rng.integers(0, 365)))
+    currency = CURRENCIES[int(rng.integers(0, 3))]
+    tax_total = round(total * 0.19, 2)
+    has_po = rng.random() < 0.70 or vclass == "near"
+    po_number = f"PO-{vendor_idx:04d}-{int(rng.integers(0, 1000))}" if has_po else None
+    remit_account = (
+        f"DE{(89 + vendor_idx) % 100:02d}3704004405{vendor_idx:06d}00"
+        if rng.random() < 0.90
+        else None
+    )
+    remit_name = f"Vendor {vendor_idx:04d} GmbH" if rng.random() < 0.90 else None
+    terms = TERMS[int(rng.integers(0, 3))] if rng.random() < 0.60 else None
+
+    pdf_hash = _pdf_hash(doc_id)
+    media_ref = f"media://{pdf_hash}"
+    if vclass == "refmiss":
+        media_ref = f"media://missing/{doc_id}"
+
+    doc = {
+        "doc_id": doc_id,
+        "vendor_id": vendor_id,
+        "vendor_name": f"Vendor {vendor_idx:04d} GmbH",
+        "invoice_number": invoice_number,
+        "invoice_date": inv_date.isoformat(),
+        "currency": currency,
+        "total": total,
+        "tax_total": tax_total,
+        "po_number": po_number,
+        "remit_account": remit_account,
+        "remit_name": remit_name,
+        "terms": terms,
+        "lines": lines,
+        "media_ref": media_ref,
+        "vclass": vclass,
+    }
+
+    if vclass == "missing":
+        doc["currency"] = None
+    if vclass == "credit":
+        # credit note: negated amounts; invoice number copies the previous
+        # seq's doc (same norm) to exercise the credit-note dedup exclusion
+        doc["total"] = -total
+        doc["tax_total"] = -tax_total
+        for line in doc["lines"]:
+            line["unit_price"] = -line["unit_price"]
+            line["amount"] = -line["amount"]
+        if seq > 0:
+            prev_rng = _rng(seed, vendor_idx, seq - 1, tag)
+            prev_style = _base_invnum_style(prev_rng)  # style is the first draw
+            doc["invoice_number"] = _invoice_number(vendor_idx, seq - 1, prev_style)
+
+    twin: dict | None = None
+    if vclass == "dup":
+        twin = dict(doc)
+        twin["lines"] = [dict(l) for l in doc["lines"]]
+        twin["doc_id"] = doc_id + "~dup"
+        twin_style = 2 if style != 2 else 1
+        twin["invoice_number"] = _invoice_number(vendor_idx, seq, twin_style)
+        twin["invoice_date"] = (inv_date + timedelta(days=3)).isoformat()
+        twin["media_ref"] = media_ref  # same pdf_hash
+        twin["vclass"] = "dup_twin"
+    elif vclass == "near":
+        trng = _rng(seed, vendor_idx, seq, 2)
+        twin = dict(doc)
+        twin["doc_id"] = doc_id + "~near"
+        twin["invoice_number"] = _invoice_number(vendor_idx, seq, 0) + "X"
+        twin["invoice_date"] = (inv_date + timedelta(days=5)).isoformat()
+        new_total = round(total * 1.003, 2)
+        f = new_total / total if total else 1.0
+        twin["lines"] = [
+            {
+                **l,
+                "unit_price": round(l["unit_price"] * f, 4),
+                "amount": round(l["amount"] * f, 2),
+            }
+            for l in doc["lines"]
+        ]
+        twin["total"] = float(np.round(sum(l["amount"] for l in twin["lines"]), 2))
+        twin["tax_total"] = round(twin["total"] * 0.19, 2)
+        twin_hash = _pdf_hash(twin["doc_id"])
+        twin["media_ref"] = f"media://{twin_hash}"
+        twin["vclass"] = "near_twin"
+        del trng
+    return doc, twin
+
+
+def doc_to_spans(doc: dict) -> list[dict]:
+    """Encode a document dict as the ordered span sequence (FIXTURES.md §1.1)."""
+    spans: list[tuple[str, str, str]] = []
+    for kind in (
+        "vendor_id", "vendor_name", "invoice_number", "invoice_date", "currency",
+    ):
+        v = doc.get(kind)
+        if v is not None:
+            spans.append((kind, str(v), ""))
+    if doc.get("total") is not None:
+        spans.append(("total", f"{doc['total']:.2f}", ""))
+    if doc.get("tax_total") is not None:
+        spans.append(("tax_total", f"{doc['tax_total']:.2f}", ""))
+    for kind in ("po_number", "remit_account", "remit_name", "terms"):
+        v = doc.get(kind)
+        if v is not None:
+            spans.append((kind, str(v), ""))
+    for line in doc["lines"]:
+        text = (
+            f"{line['desc']}|{line['qty']}|{line['unit_price']:.4f}|"
+            f"{line['amount']:.2f}|{line['sku']}"
+        )
+        spans.append(("line", text, ""))
+    spans.append(("media", "", doc["media_ref"]))
+
+    out = []
+    offset = 0
+    for kind, text, mref in spans:
+        out.append({"kind": kind, "text": text, "media_ref": mref, "offset": offset})
+        offset += len(text) + 1
+    return out
+
+
+def generate_docs_table(
+    seed: int, n_docs: int, n_vendors: int, table: str,
+    vendor_range: tuple[int, int] | None = None,
+) -> tuple[pa.Table, list[str]]:
+    """Build the documents Arrow table (+ list of clean media_refs)."""
+    counts = zipf_counts(n_docs, n_vendors)
+    lo, hi = vendor_range or (0, n_vendors)
+    doc_ids: list[str] = []
+    span_lists: list[list[dict]] = []
+    media_refs: list[str] = []
+    for vendor_idx in range(lo, hi):
+        for seq in range(int(counts[vendor_idx])):
+            doc, twin = make_doc(seed, vendor_idx, seq, table)
+            for d in (doc, twin) if twin is not None else (doc,):
+                doc_ids.append(d["doc_id"])
+                span_lists.append(doc_to_spans(d))
+                if d["vclass"] != "refmiss":
+                    media_refs.append(d["media_ref"])
+    tbl = pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": span_lists}, schema=DOCUMENTS
+    )
+    return tbl, media_refs
+
+
+def generate_fixture(
+    out_dir: str, n_docs: int, n_vendors: int, seed: int = SEED_DEFAULT,
+) -> dict[str, str]:
+    """Write documents.parquet (current), baseline.parquet, media_catalog.parquet."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "documents": os.path.join(out_dir, "documents.parquet"),
+        "baseline": os.path.join(out_dir, "baseline.parquet"),
+        "media_catalog": os.path.join(out_dir, "media_catalog.parquet"),
+    }
+    current, cur_refs = generate_docs_table(seed, n_docs, n_vendors, "current")
+    baseline, base_refs = generate_docs_table(seed, n_docs, n_vendors, "baseline")
+    pq.write_table(current, paths["documents"])
+    pq.write_table(baseline, paths["baseline"])
+
+    refs = sorted(set(cur_refs) | set(base_refs))
+    epoch = np.datetime64("2025-01-01T00:00:00", "us")
+    catalog = pa.Table.from_pydict(
+        {
+            "media_ref": refs,
+            "size_bytes": [1000 + (len(r) * 37) % 9000 for r in refs],
+            "first_seen": [epoch + np.timedelta64(i, "s") for i in range(len(refs))],
+        },
+        schema=MEDIA_CATALOG,
+    )
+    pq.write_table(catalog, paths["media_catalog"])
+    return paths

@@ -1,0 +1,217 @@
+"""Pure-python oracle for the validate pass (no Ray).
+
+Recomputes violations + verdicts row-at-a-time from the same inputs
+(documents, engine-built profiles, media catalog) with an independent code
+path: python dict grouping instead of Ray shuffles, scalar loops instead of
+vectorized kernels.  Only the *definitional* primitives are shared with the
+engine (BloomFilter / HyperLogLog / psi from sievedata.sketches and the
+scalar ``invnum_norm``): the Bloom filter IS the referential check's
+semantics, and HLL registers are order-insensitive by construction, so
+sharing them checks the engine's distribution logic, not the arithmetic.
+
+Used by tests to assert EXACT violation-row and verdict equality
+(BASELINE.md north metric).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from sievedata.kernels.normalize import invnum_norm
+from sievedata.pipelines.validate import ValidateConfig
+from sievedata.schema import (
+    CHECK_DRIFT, CHECK_DUPLICATE, CHECK_RANGE, CHECK_REFERENTIAL,
+    CHECK_SCHEMA, CHECK_UNIQUENESS, REASON_BANK_CHANGE, REASON_EXACT_INVNUM,
+    REASON_MISSING_FIELD, REASON_PDF_NEAR_DUP, REASON_SAME_PO_NEAR_TOTAL,
+    REASON_UNIT_PRICE_OUTLIER, REQUIRED_KINDS,
+)
+from sievedata.sketches import BloomFilter, HyperLogLog
+from sievedata.sketches.drift import psi
+
+
+def parse_doc_row(doc_id: str, spans: list[dict]) -> dict:
+    """Row-at-a-time span parse (first span of each kind wins, like the engine)."""
+    fields: dict = {"doc_id": doc_id}
+    lines = []
+    for s in spans:
+        k = s["kind"]
+        if k == "line":
+            lines.append(s["text"])
+        elif k == "media":
+            fields.setdefault("media_ref", s["media_ref"])
+        elif k not in fields:
+            fields[k] = s["text"]
+    fields["lines"] = lines
+    missing = [k for k in REQUIRED_KINDS if fields.get(k) is None]
+    if not lines:
+        missing.append("line_items")
+    fields["missing"] = ",".join(missing)
+    total = fields.get("total")
+    fields["total_f"] = float(total) if total is not None else 0.0
+    fields["is_credit"] = fields["total_f"] < 0.0
+    inv = fields.get("invoice_number")
+    fields["invnum_norm"] = invnum_norm(inv) if inv is not None else None
+    mref = fields.get("media_ref")
+    fields["pdf_hash"] = mref[len("media://"):] if mref else None
+    return fields
+
+
+def oracle_validate(
+    documents_path: str,
+    profiles_path: str,
+    media_catalog_path: str,
+    cfg: ValidateConfig | None = None,
+    bloom_fp_rate: float = 1e-4,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Return (violations, verdicts) sorted canonically."""
+    cfg = cfg or ValidateConfig()
+    docs_t = pq.read_table(documents_path).to_pylist()
+    docs = [parse_doc_row(r["doc_id"], r["spans"]) for r in docs_t]
+
+    prof_df = pq.read_table(profiles_path).to_pandas()
+    prof = {r["partition_key"]: r for _, r in prof_df.iterrows()}
+
+    cat = pq.read_table(media_catalog_path, columns=["media_ref"])
+    bf = BloomFilter(capacity=max(cat.num_rows, 1), fp_rate=bloom_fp_rate)
+    bf.add(cat.column("media_ref").combine_chunks())
+
+    violations: list[tuple[str, str, str, str]] = []
+
+    # ---- per-doc checks -------------------------------------------------
+    for d in docs:
+        pk = d.get("vendor_id") or ""
+        d["pk"] = pk
+        if d["missing"]:
+            violations.append((pk, d["doc_id"], REASON_MISSING_FIELD, f"missing={d['missing']}"))
+            d["eligible"] = False
+            continue
+        d["eligible"] = not d["is_credit"]
+        if d.get("media_ref"):
+            if not bool(bf.contains([d["media_ref"]])[0]):
+                violations.append(
+                    (pk, d["doc_id"], REASON_BANK_CHANGE, f"media_ref={d['media_ref']}")
+                )
+        if d["eligible"] and pk in prof:
+            p = prof[pk]
+            mean, std, cnt = float(p["mean_total"]), float(p["std_total"]), int(p["sample_count"])
+            dev = abs(d["total_f"] - mean)
+            if std > 0.0:
+                z = dev / std
+            elif cnt > 10:
+                z = dev / max(abs(mean), 1.0)
+            else:
+                z = 0.0
+            if z >= cfg.z_threshold:
+                violations.append((pk, d["doc_id"], REASON_UNIT_PRICE_OUTLIER, f"z={z:.6f}"))
+
+    # ---- blocked duplicate checks --------------------------------------
+    blocks: dict[tuple[str, str, str], list[dict]] = {}
+    for d in docs:
+        if d["missing"] or d["is_credit"]:
+            continue
+        for family, key in (
+            ("invnum", d["invnum_norm"]),
+            ("pdf", d["pdf_hash"]),
+            ("po", d.get("po_number")),
+        ):
+            if key is not None:
+                blocks.setdefault((d["pk"], family, key), []).append(d)
+
+    for (pk, family, key), members in blocks.items():
+        if len(members) < 2:
+            continue
+        members = sorted(members, key=lambda d: d["doc_id"])
+        if family == "invnum":
+            first = members[0]["doc_id"]
+            for d in members[1:]:
+                violations.append(
+                    (pk, d["doc_id"], REASON_EXACT_INVNUM, f"invnum_norm={key};first={first}")
+                )
+        elif family == "pdf":
+            first = members[0]["doc_id"]
+            for d in members[1:]:
+                violations.append(
+                    (pk, d["doc_id"], REASON_PDF_NEAR_DUP, f"pdf_hash={key};first={first}")
+                )
+        else:
+            import datetime
+
+            dates = [datetime.date.fromisoformat(m["invoice_date"]) for m in members]
+            for j in range(1, len(members)):
+                lo = max(0, j - cfg.pair_scan_cap)
+                tj = members[j]["total_f"]
+                tol = cfg.po_pct_tol * max(abs(tj), 1.0)
+                for i in range(lo, j):
+                    gap = abs((dates[j] - dates[i]).days)
+                    if abs(tj - members[i]["total_f"]) <= tol and gap <= cfg.po_window_days:
+                        violations.append(
+                            (pk, members[j]["doc_id"], REASON_SAME_PO_NEAR_TOTAL,
+                             f"po={key};match={members[i]['doc_id']}")
+                        )
+                        break
+
+    vio_df = pd.DataFrame(
+        violations, columns=["partition_key", "doc_id", "reason_code", "detail"]
+    ).sort_values(["partition_key", "doc_id", "reason_code", "detail"], kind="mergesort").reset_index(drop=True)
+
+    # ---- per-partition verdicts ----------------------------------------
+    by_pk: dict[str, list[dict]] = {}
+    for d in docs:
+        by_pk.setdefault(d["pk"], []).append(d)
+
+    check_of_reason = {
+        REASON_MISSING_FIELD: CHECK_SCHEMA,
+        REASON_EXACT_INVNUM: CHECK_DUPLICATE,
+        REASON_PDF_NEAR_DUP: CHECK_DUPLICATE,
+        REASON_SAME_PO_NEAR_TOTAL: CHECK_DUPLICATE,
+        REASON_BANK_CHANGE: CHECK_REFERENTIAL,
+        REASON_UNIT_PRICE_OUTLIER: CHECK_RANGE,
+    }
+    vio_counts: dict[tuple[str, str], int] = {}
+    for pk, _doc, code, _det in violations:
+        ck = check_of_reason[code]
+        vio_counts[(pk, ck)] = vio_counts.get((pk, ck), 0) + 1
+
+    rows = []
+    for pk in sorted(by_pk):
+        members = by_pk[pk]
+        n_docs = len(members)
+        elig = [d for d in members if not d["missing"] and not d["is_credit"]]
+        n_elig = len(elig)
+        for check in (CHECK_SCHEMA, CHECK_DUPLICATE, CHECK_REFERENTIAL, CHECK_RANGE):
+            nv = vio_counts.get((pk, check), 0)
+            rows.append((pk, check, nv == 0, n_docs, nv, float(nv), ""))
+        # drift
+        p = prof.get(pk)
+        totals = np.array([d["total_f"] for d in elig], dtype=np.float64)
+        if p is None or not len(p["bin_fracs"]) or totals.size == 0:
+            rows.append((pk, CHECK_DRIFT, True, n_docs, 0, 0.0, "no_profile"))
+        else:
+            edges = np.asarray(p["bin_edges"], dtype=np.float64)
+            binned = np.searchsorted(edges, totals, side="right")
+            counts = np.bincount(binned, minlength=len(edges) + 1).astype(np.int64)
+            cur_frac = counts / counts.sum()
+            val = psi(np.asarray(p["bin_fracs"], dtype=np.float64), cur_frac)
+            n_base = max(int(p["sample_count"]), 1)
+            noise = cfg.psi_noise_factor * (len(cur_frac) - 1) * (1.0 / max(totals.size, 1) + 1.0 / n_base)
+            thresh = max(cfg.psi_threshold, noise)
+            rows.append(
+                (pk, CHECK_DRIFT, bool(val <= thresh), n_docs, 0, float(val),
+                 f"threshold={thresh:.6f}")
+            )
+        # uniqueness
+        h_doc = HyperLogLog().update([d["doc_id"] for d in elig])
+        h_inv = HyperLogLog().update([d["invnum_norm"] for d in elig])
+        est = h_doc.cardinality()
+        ratio = est / n_elig if n_elig else 1.0
+        rows.append(
+            (pk, CHECK_UNIQUENESS, bool(ratio >= cfg.uniqueness_min_ratio),
+             n_docs, 0, float(ratio), f"hll_invnum={h_inv.cardinality():.1f}")
+        )
+
+    ver_df = pd.DataFrame(
+        rows, columns=["partition_key", "check_name", "passed", "n_docs",
+                       "n_violations", "metric", "detail"],
+    ).sort_values(["partition_key", "check_name"], kind="mergesort").reset_index(drop=True)
+    return vio_df, ver_df

@@ -1,0 +1,4 @@
+from sievedata.pipelines.profile import build_profiles, load_profiles
+from sievedata.pipelines.validate import validate_documents
+
+__all__ = ["build_profiles", "load_profiles", "validate_documents"]

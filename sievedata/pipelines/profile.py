@@ -1,0 +1,227 @@
+"""Profile-learning pass: per-partition statistical baselines from clean data.
+
+Replaces the reference's nightly vendor-baseline job
+(/root/reference/scripts/train_anomaly.py:14-54 — pandas
+``groupby(vendor_id).total.agg(mean, std, count)`` upserted into
+``vendor_amount_baselines``) with a single-pass mergeable Ray Data pipeline,
+extended per north_rule with t-digest quantiles, HyperLogLog uniqueness
+sketches, span-structure histograms and exact drift-bin fractions:
+
+Phase A  read → map_batches(parse) → per-(block, partition) partial sketches
+         → groupby(partition_key) merge  (shuffles only sketch bytes, never rows)
+Phase B  read → map_batches(parse) → exact per-partition histogram counts on
+         the digest-derived decile edges (broadcast) → groupby sum
+         (gives PSI bin fractions that are exactly reproducible — integer
+         sums are merge-order-insensitive, unlike t-digest centroids)
+
+Profiles are small (one row per partition) and broadcast to scoring stages
+via ``ray.put``.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sievedata.sketches import BloomFilter, HyperLogLog, Moments, TDigest
+from sievedata.sources.storage import read_documents
+from sievedata.stages.parse import parse_documents_batch
+
+PROFILE_VERSION = "p1"
+N_DRIFT_BINS = 10
+
+
+def _eligible_mask(batch: pa.Table) -> np.ndarray:
+    missing = np.asarray(batch.column("missing_fields").to_numpy(zero_copy_only=False))
+    credit = np.asarray(batch.column("is_credit").to_numpy(zero_copy_only=False))
+    return (missing == "") & (~credit.astype(bool))
+
+
+def _sketch_partials(batch: pa.Table) -> pa.Table:
+    """One partial-sketch row per partition present in this batch."""
+    mask = _eligible_mask(batch)
+    pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
+    totals = np.asarray(batch.column("total").to_numpy(zero_copy_only=False), dtype=np.float64)
+    doc_id = batch.column("doc_id")
+    invnum = batch.column("invnum_norm")
+    kinds_hist = _span_kind_counts(batch)
+
+    rows = {k: [] for k in ("partition_key", "moments", "tdigest", "hll_doc_id", "hll_invnum", "span_hist")}
+    for key in np.unique(pk[mask]):
+        sel = mask & (pk == key)
+        idx = pa.array(np.flatnonzero(sel), pa.int64())
+        m = Moments().update(totals[sel])
+        td = TDigest().update(totals[sel])
+        h_doc = HyperLogLog().update(doc_id.take(idx))
+        h_inv = HyperLogLog().update(invnum.take(idx))
+        rows["partition_key"].append(str(key))
+        rows["moments"].append(m.to_bytes())
+        rows["tdigest"].append(td.to_bytes())
+        rows["hll_doc_id"].append(h_doc.to_bytes())
+        rows["hll_invnum"].append(h_inv.to_bytes())
+        rows["span_hist"].append(json.dumps(kinds_hist.get(str(key), {}), sort_keys=True))
+    return pa.table(
+        {
+            "partition_key": pa.array(rows["partition_key"], pa.string()),
+            "moments": pa.array(rows["moments"], pa.binary()),
+            "tdigest": pa.array(rows["tdigest"], pa.binary()),
+            "hll_doc_id": pa.array(rows["hll_doc_id"], pa.binary()),
+            "hll_invnum": pa.array(rows["hll_invnum"], pa.binary()),
+            "span_hist": pa.array(rows["span_hist"], pa.string()),
+        }
+    )
+
+
+def _span_kind_counts(batch: pa.Table) -> dict[str, dict[str, int]]:
+    """Per-partition span-kind histograms for one batch (vectorized)."""
+    spans = batch.column("spans").combine_chunks()
+    n = batch.num_rows
+    counts = np.diff(np.asarray(spans.offsets))
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    kind = np.asarray(spans.flatten().field("kind").to_numpy(zero_copy_only=False))
+    pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
+    span_pk = pk[parent]
+    pk_uniq, pk_inv = np.unique(span_pk, return_inverse=True)
+    kind_uniq, kind_inv = np.unique(kind, return_inverse=True)
+    combined = pk_inv * len(kind_uniq) + kind_inv
+    cnt = np.bincount(combined, minlength=len(pk_uniq) * len(kind_uniq))
+    out: dict[str, dict[str, int]] = {}
+    for flat in np.flatnonzero(cnt):
+        p = str(pk_uniq[flat // len(kind_uniq)])
+        k = str(kind_uniq[flat % len(kind_uniq)])
+        out.setdefault(p, {})[k] = int(cnt[flat])
+    return out
+
+
+def _merge_sketch_group(df: pd.DataFrame) -> pd.DataFrame:
+    m = Moments()
+    td = TDigest()
+    h_doc = HyperLogLog()
+    h_inv = HyperLogLog()
+    hist: dict[str, int] = {}
+    for _, row in df.iterrows():
+        m = m.merged(Moments.from_bytes(row["moments"]))
+        td = td.merged(TDigest.from_bytes(row["tdigest"]))
+        h_doc = h_doc.merged(HyperLogLog.from_bytes(row["hll_doc_id"]))
+        h_inv = h_inv.merged(HyperLogLog.from_bytes(row["hll_invnum"]))
+        for k, v in json.loads(row["span_hist"]).items():
+            hist[k] = hist.get(k, 0) + v
+    return pd.DataFrame(
+        {
+            "partition_key": [df["partition_key"].iloc[0]],
+            "sample_count": [m.count],
+            "mean_total": [m.mean],
+            "std_total": [m.std],
+            "tdigest": [td.to_bytes()],
+            "hll_doc_id": [h_doc.to_bytes()],
+            "hll_invnum": [h_inv.to_bytes()],
+            "span_kind_histogram": [json.dumps(hist, sort_keys=True)],
+        }
+    )
+
+
+def _bin_count_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> pa.Table:
+    """Exact histogram counts per partition on broadcast bin edges."""
+    mask = _eligible_mask(batch)
+    pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
+    totals = np.asarray(batch.column("total").to_numpy(zero_copy_only=False), dtype=np.float64)
+    keys, counts = [], []
+    for key in np.unique(pk[mask]):
+        edges = edges_by_pk.get(str(key))
+        if edges is None:
+            continue
+        sel = mask & (pk == key)
+        binned = np.searchsorted(edges, totals[sel], side="right")
+        c = np.bincount(binned, minlength=len(edges) + 1).astype(np.int64)
+        keys.append(str(key))
+        counts.append(c.tolist())
+    return pa.table(
+        {
+            "partition_key": pa.array(keys, pa.string()),
+            "bin_counts": pa.array(counts, pa.list_(pa.int64())),
+        }
+    )
+
+
+def build_profiles(
+    baseline_path: str,
+    media_catalog_path: str,
+    out_dir: str,
+    profile_version: str = PROFILE_VERSION,
+    bloom_fp_rate: float = 1e-4,
+) -> dict[str, str]:
+    """Run the two-phase profile pass; write profiles.parquet + media Bloom."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Phase A: mergeable sketches per partition
+    ds = read_documents(baseline_path)
+    parsed = ds.map_batches(parse_documents_batch, batch_format="pyarrow")
+    partials = parsed.map_batches(_sketch_partials, batch_format="pyarrow")
+    merged = partials.groupby("partition_key").map_groups(
+        _merge_sketch_group, batch_format="pandas"
+    )
+    prof_df = merged.to_pandas()  # one row per partition — small by design
+
+    # decile edges from each partition's digest (stored, so the validate pass
+    # and the oracle bin with IDENTICAL edges)
+    edges_by_pk: dict[str, np.ndarray] = {}
+    for _, row in prof_df.iterrows():
+        td = TDigest.from_bytes(row["tdigest"])
+        qs = np.linspace(0.0, 1.0, N_DRIFT_BINS + 1)[1:-1]
+        edges = np.unique(np.array([td.quantile(q) for q in qs]))
+        edges_by_pk[row["partition_key"]] = edges
+
+    # Phase B: exact bin counts on those edges
+    ds2 = read_documents(baseline_path)
+    parsed2 = ds2.map_batches(parse_documents_batch, batch_format="pyarrow")
+    bc = parsed2.map_batches(
+        lambda b: _bin_count_partials(b, edges_by_pk), batch_format="pyarrow"
+    )
+    bc_df = (
+        bc.groupby("partition_key")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "partition_key": [g["partition_key"].iloc[0]],
+                    "bin_counts": [np.sum(np.vstack(g["bin_counts"].to_numpy()), axis=0).tolist()],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    prof_df = prof_df.merge(bc_df, on="partition_key", how="left")
+    prof_df["bin_edges"] = prof_df["partition_key"].map(
+        lambda k: edges_by_pk[k].tolist()
+    )
+
+    def fracs(counts):
+        c = np.asarray(counts, dtype=np.float64)
+        s = c.sum()
+        return (c / s).tolist() if s else c.tolist()
+
+    prof_df["bin_fracs"] = prof_df["bin_counts"].map(fracs)
+    prof_df["profile_version"] = profile_version
+    prof_df = prof_df.sort_values("partition_key").reset_index(drop=True)
+
+    profiles_path = os.path.join(out_dir, "profiles.parquet")
+    pq.write_table(pa.Table.from_pandas(prof_df, preserve_index=False), profiles_path)
+
+    # media catalog → Bloom filter artifact (broadcast referential side)
+    cat = pq.read_table(media_catalog_path, columns=["media_ref"])
+    refs = cat.column("media_ref")
+    bf = BloomFilter(capacity=max(len(refs), 1), fp_rate=bloom_fp_rate)
+    bf.add(refs.combine_chunks())
+    bloom_path = os.path.join(out_dir, "media_bloom.bin")
+    with open(bloom_path, "wb") as f:
+        f.write(bf.to_bytes())
+
+    return {"profiles": profiles_path, "media_bloom": bloom_path}
+
+
+def load_profiles(profiles_path: str) -> pd.DataFrame:
+    return pq.read_table(profiles_path).to_pandas()

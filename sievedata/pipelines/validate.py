@@ -1,0 +1,532 @@
+"""Validate pass: per-document + per-partition constraint checks.
+
+Ray-Data-first layout (SURVEY.md §3.4 / §4.2), designed for 10^12-doc inputs:
+
+Stage 1 (per-doc, embarrassingly parallel)
+    read → map_batches(parse) → map_batches(PerDocChecks actor pool:
+    profiles dict + media Bloom broadcast once via ray.put, loaded per actor
+    in __init__) → narrow "checked" parquet intermediate (≈100 B/doc; spans
+    dropped here — span preservation is proven by parse-stage tests, and the
+    untouched input remains the system of record).
+
+Stage 2 (blocked duplicate checks, one fine-grained shuffle)
+    read checked (column-pruned) → explode into (partition_key, family,
+    block_key) rows for the reference's blocking families
+    (/root/reference/app/retrieval.py:22-29: invoice_number_norm, po_number,
+    pdf_hash) → groupby(partition_key, family, block_key) → per-group
+    deterministic dup rules.  Fine-grained keys mean no whole-vendor group
+    ever materializes — hot-vendor skew (Zipf head) spreads across that
+    vendor's many block keys; per-group pair scans are capped (BR-004's 200).
+
+Stage 3 (per-partition aggregates: drift, uniqueness)
+    read checked → mergeable partials per partition (exact drift-bin counts
+    on the profile's stored edges, count, HLL registers) → groupby merge →
+    verdicts vs broadcast profiles.  Only sketch bytes shuffle.  All
+    aggregates are merge-order-insensitive (integer sums, register max), so
+    verdict metrics are exactly reproducible run-to-run.
+
+Stage 4 (assembly)
+    violations = stage1 flags ∪ stage2 rows; verdicts per (partition, check);
+    per-partition manifest with lineage + metrics.  Each stage commits
+    atomically (write → rename + _SUCCESS), so a re-run resumes past
+    completed stages (see pipelines/checkpoint.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from sievedata.pipelines.checkpoint import commit_dir, stage_done
+from sievedata.schema import (
+    CHECK_DRIFT,
+    CHECK_DUPLICATE,
+    CHECK_RANGE,
+    CHECK_REFERENTIAL,
+    CHECK_SCHEMA,
+    CHECK_UNIQUENESS,
+    REASON_BANK_CHANGE,
+    REASON_EXACT_INVNUM,
+    REASON_MISSING_FIELD,
+    REASON_PDF_NEAR_DUP,
+    REASON_SAME_PO_NEAR_TOTAL,
+    REASON_UNIT_PRICE_OUTLIER,
+)
+from sievedata.sketches import BloomFilter, HyperLogLog
+from sievedata.sketches.drift import psi
+from sievedata.sources.storage import read_documents
+from sievedata.stages.parse import parse_documents_batch
+
+CHECKED_COLUMNS = [
+    "doc_id", "partition_key", "invnum_norm", "pdf_hash", "po_number",
+    "total", "invoice_date", "missing_fields", "is_credit",
+    "bank_change", "amount_z", "is_outlier", "eligible",
+]
+
+
+@dataclass
+class ValidateConfig:
+    z_threshold: float = 2.5
+    po_pct_tol: float = 0.005
+    po_window_days: int = 30
+    psi_threshold: float = 0.2
+    # sampling-noise floor: E[PSI] ≈ (B−1)(1/n_cur + 1/n_base) under H0
+    # (chi-square approximation), so small partitions use an elevated
+    # threshold psi_noise_factor × that instead of flakily failing
+    psi_noise_factor: float = 4.0
+    uniqueness_min_ratio: float = 0.9
+    pair_scan_cap: int = 200  # BR-004 candidate cap (requirements.md:99)
+
+
+class PerDocChecks:
+    """Actor-pool stage: profile lookup + Bloom probe + range z, vectorized.
+
+    State (profiles dict, Bloom filter) is fetched from the object store once
+    per actor in ``__init__`` — the reference's per-process model-singleton
+    pattern (app/duplicate_model.py:60-71) re-expressed as a Ray actor pool.
+    """
+
+    def __init__(self, profiles_ref, bloom_ref, z_threshold: float = 2.5):
+        import ray
+
+        prof = ray.get(profiles_ref) if not isinstance(profiles_ref, dict) else profiles_ref
+        self.mean = {k: v[0] for k, v in prof.items()}
+        self.std = {k: v[1] for k, v in prof.items()}
+        self.count = {k: v[2] for k, v in prof.items()}
+        bloom_bytes = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        self.bloom = BloomFilter.from_bytes(bloom_bytes)
+        self.z_threshold = z_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        pk = batch.column("partition_key").to_numpy(zero_copy_only=False)
+        total = np.nan_to_num(
+            batch.column("total").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        missing = batch.column("missing_fields").to_numpy(zero_copy_only=False) != ""
+        credit = batch.column("is_credit").to_numpy(zero_copy_only=False).astype(bool)
+        eligible = (~missing) & (~credit)
+
+        mean = np.array([self.mean.get(k, 0.0) for k in pk])
+        std = np.array([self.std.get(k, 0.0) for k in pk])
+        cnt = np.array([self.count.get(k, 0) for k in pk])
+        has_prof = np.array([k in self.mean for k in pk])
+
+        dev = np.abs(total - mean)
+        z = np.where(
+            has_prof & (std > 0.0),
+            dev / np.where(std > 0.0, std, 1.0),
+            np.where(has_prof & (cnt > 10), dev / np.maximum(np.abs(mean), 1.0), 0.0),
+        )
+        is_outlier = eligible & (z >= self.z_threshold)
+
+        media_ref = batch.column("media_ref").combine_chunks()
+        in_catalog = self.bloom.contains(media_ref)
+        has_ref = ~np.asarray(pc.is_null(media_ref).to_numpy(zero_copy_only=False))
+        bank_change = (~missing) & has_ref & (~in_catalog)
+
+        out = batch.select(
+            [
+                "doc_id", "partition_key", "invnum_norm", "pdf_hash", "po_number",
+                "total", "invoice_date", "missing_fields", "is_credit",
+            ]
+        )
+        out = out.append_column("bank_change", pa.array(bank_change))
+        out = out.append_column("amount_z", pa.array(z))
+        out = out.append_column("is_outlier", pa.array(is_outlier))
+        out = out.append_column("eligible", pa.array(eligible))
+        return out
+
+
+def _per_doc_violations(batch: pa.Table) -> pa.Table:
+    """Vectorized per-doc violation rows from stage-1 flags."""
+    pk = batch.column("partition_key").to_numpy(zero_copy_only=False)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    missing = batch.column("missing_fields").to_numpy(zero_copy_only=False)
+    bank = batch.column("bank_change").to_numpy(zero_copy_only=False).astype(bool)
+    outl = batch.column("is_outlier").to_numpy(zero_copy_only=False).astype(bool)
+    z = batch.column("amount_z").to_numpy(zero_copy_only=False)
+    pdf = batch.column("pdf_hash").to_numpy(zero_copy_only=False)
+
+    pks, docs, codes, details = [], [], [], []
+    for i in np.flatnonzero(missing != ""):
+        pks.append(pk[i]); docs.append(doc[i])
+        codes.append(REASON_MISSING_FIELD)
+        details.append(f"missing={missing[i]}")
+    for i in np.flatnonzero(bank):
+        pks.append(pk[i]); docs.append(doc[i])
+        codes.append(REASON_BANK_CHANGE)
+        details.append(f"media_ref=media://{pdf[i]}")
+    for i in np.flatnonzero(outl):
+        pks.append(pk[i]); docs.append(doc[i])
+        codes.append(REASON_UNIT_PRICE_OUTLIER)
+        details.append(f"z={z[i]:.6f}")
+    return pa.table(
+        {
+            "partition_key": pa.array(pks, pa.string()),
+            "doc_id": pa.array(docs, pa.string()),
+            "reason_code": pa.array(codes, pa.string()),
+            "detail": pa.array(details, pa.string()),
+        }
+    )
+
+
+_EMPTY_BLOCKS = pa.table(
+    {
+        "partition_key": pa.array([], pa.string()),
+        "family": pa.array([], pa.string()),
+        "block_key": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.string()),
+        "total": pa.array([], pa.float64()),
+        "invoice_date": pa.array([], pa.date32()),
+    }
+)
+
+
+def _explode_blocks(batch: pa.Table) -> pa.Table:
+    """Emit (partition_key, family, block_key) rows for the dup families."""
+    mask = pc.and_(
+        pc.equal(batch.column("missing_fields"), ""),
+        pc.invert(batch.column("is_credit")),
+    )
+    elig = batch.filter(mask)
+    if elig.num_rows == 0:
+        return _EMPTY_BLOCKS
+    outs = []
+    for family, key_col in (("invnum", "invnum_norm"), ("pdf", "pdf_hash"), ("po", "po_number")):
+        keys = elig.column(key_col)
+        sub = elig.filter(pc.invert(pc.is_null(keys)))
+        if sub.num_rows == 0:
+            continue
+        outs.append(
+            pa.table(
+                {
+                    "partition_key": sub.column("partition_key"),
+                    "family": pa.array([family] * sub.num_rows, pa.string()),
+                    "block_key": sub.column(key_col).cast(pa.string()),
+                    "doc_id": sub.column("doc_id"),
+                    "total": sub.column("total"),
+                    "invoice_date": sub.column("invoice_date"),
+                }
+            )
+        )
+    return pa.concat_tables(outs) if outs else _EMPTY_BLOCKS
+
+
+def _make_block_checker(cfg: ValidateConfig):
+    pct_tol = cfg.po_pct_tol
+    window = cfg.po_window_days
+    cap = cfg.pair_scan_cap
+
+    def check_block(g: pd.DataFrame) -> pd.DataFrame:
+        """Deterministic within-block duplicate rules (RR-001/002/003).
+
+        Doc order inside a block = doc_id ascending; every doc beyond the
+        first matching doc is the flagged one (the reference flags the *new*
+        invoice; doc_id order is our deterministic arrival order).
+        """
+        if len(g) < 2:
+            return _EMPTY_VIOLATIONS_DF
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        family = g["family"].iat[0]
+        pk = g["partition_key"].iat[0]
+        key = g["block_key"].iat[0]
+        rows: list[tuple[str, str, str, str]] = []
+        if family == "invnum":
+            first = g["doc_id"].iat[0]
+            for d in g["doc_id"].iloc[1:]:
+                rows.append((pk, d, REASON_EXACT_INVNUM, f"invnum_norm={key};first={first}"))
+        elif family == "pdf":
+            first = g["doc_id"].iat[0]
+            for d in g["doc_id"].iloc[1:]:
+                rows.append((pk, d, REASON_PDF_NEAR_DUP, f"pdf_hash={key};first={first}"))
+        else:  # po family: near-total within date window (rule_same_po_near_total)
+            totals = g["total"].to_numpy(dtype=float)
+            dates = pd.to_datetime(g["invoice_date"]).to_numpy().astype("datetime64[D]")
+            n = len(g)
+            for j in range(1, n):
+                lo = max(0, j - cap)
+                tj = totals[j]
+                tol = pct_tol * max(abs(tj), 1.0)
+                for i in range(lo, j):
+                    gap = abs((dates[j] - dates[i]).astype(int))
+                    if abs(tj - totals[i]) <= tol and gap <= window:
+                        rows.append(
+                            (pk, g["doc_id"].iat[j], REASON_SAME_PO_NEAR_TOTAL,
+                             f"po={key};match={g['doc_id'].iat[i]}")
+                        )
+                        break
+        if not rows:
+            return _EMPTY_VIOLATIONS_DF
+        return pd.DataFrame(rows, columns=["partition_key", "doc_id", "reason_code", "detail"])
+
+    return check_block
+
+
+_EMPTY_VIOLATIONS_DF = pd.DataFrame(
+    {"partition_key": pd.Series(dtype=str), "doc_id": pd.Series(dtype=str),
+     "reason_code": pd.Series(dtype=str), "detail": pd.Series(dtype=str)}
+)
+
+
+def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> pa.Table:
+    """Mergeable per-partition aggregates for drift + uniqueness + counts."""
+    pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
+    total = np.nan_to_num(batch.column("total").to_numpy(zero_copy_only=False).astype(np.float64))
+    eligible = batch.column("eligible").to_numpy(zero_copy_only=False).astype(bool)
+    doc_id = batch.column("doc_id").combine_chunks()
+    invnum = batch.column("invnum_norm").combine_chunks()
+
+    keys, n_docs, n_elig, bins, hll_doc, hll_inv = [], [], [], [], [], []
+    for key in np.unique(pk):
+        sel = pk == key
+        sel_e = sel & eligible
+        edges = edges_by_pk.get(str(key))
+        if edges is not None and sel_e.any():
+            binned = np.searchsorted(edges, total[sel_e], side="right")
+            c = np.bincount(binned, minlength=len(edges) + 1).astype(np.int64)
+        else:
+            c = np.zeros(0, dtype=np.int64)
+        idx = pa.array(np.flatnonzero(sel_e), pa.int64())
+        keys.append(str(key))
+        n_docs.append(int(sel.sum()))
+        n_elig.append(int(sel_e.sum()))
+        bins.append(c.tolist())
+        hll_doc.append(HyperLogLog().update(doc_id.take(idx)).to_bytes())
+        hll_inv.append(HyperLogLog().update(invnum.take(idx)).to_bytes())
+    return pa.table(
+        {
+            "partition_key": pa.array(keys, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_eligible": pa.array(n_elig, pa.int64()),
+            "bin_counts": pa.array(bins, pa.list_(pa.int64())),
+            "hll_doc_id": pa.array(hll_doc, pa.binary()),
+            "hll_invnum": pa.array(hll_inv, pa.binary()),
+        }
+    )
+
+
+def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["partition_key"].iloc[0]
+        n_docs = int(g["n_docs"].sum())
+        n_elig = int(g["n_eligible"].sum())
+        h_doc = HyperLogLog()
+        h_inv = HyperLogLog()
+        for b in g["hll_doc_id"]:
+            h_doc = h_doc.merged(HyperLogLog.from_bytes(b))
+        for b in g["hll_invnum"]:
+            h_inv = h_inv.merged(HyperLogLog.from_bytes(b))
+        lens = [len(b) for b in g["bin_counts"]]
+        max_len = max(lens) if lens else 0
+        cur_counts = np.zeros(max_len, dtype=np.int64)
+        for b in g["bin_counts"]:
+            if len(b):
+                cur_counts += np.asarray(b, dtype=np.int64)
+
+        prof = profile_map.get(key)
+        rows = []
+        # drift verdict (adaptive threshold = max(base, noise floor))
+        if prof is None or not len(prof["bin_fracs"]) or cur_counts.sum() == 0:
+            rows.append((key, CHECK_DRIFT, True, n_docs, 0, 0.0, "no_profile"))
+        else:
+            cur_frac = cur_counts / cur_counts.sum()
+            val = psi(np.asarray(prof["bin_fracs"]), cur_frac)
+            n_base = max(int(prof["sample_count"]), 1)
+            n_cur = max(int(cur_counts.sum()), 1)
+            noise = cfg.psi_noise_factor * (len(cur_frac) - 1) * (1.0 / n_cur + 1.0 / n_base)
+            thresh = max(cfg.psi_threshold, noise)
+            rows.append(
+                (key, CHECK_DRIFT, bool(val <= thresh), n_docs, 0, float(val),
+                 f"threshold={thresh:.6f}")
+            )
+        # uniqueness verdict (doc_id approximate-distinct ratio)
+        est = h_doc.cardinality()
+        ratio = est / n_elig if n_elig else 1.0
+        rows.append(
+            (key, CHECK_UNIQUENESS, bool(ratio >= cfg.uniqueness_min_ratio),
+             n_docs, 0, float(ratio), f"hll_invnum={h_inv.cardinality():.1f}")
+        )
+        return pd.DataFrame(
+            rows,
+            columns=["partition_key", "check_name", "passed", "n_docs",
+                     "n_violations", "metric", "detail"],
+        )
+
+    return finalize
+
+
+def validate_documents(
+    documents_path: str,
+    profiles_path: str,
+    media_bloom_path: str,
+    run_dir: str,
+    cfg: ValidateConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run the full validate pass; returns paths + summary.
+
+    Outputs under ``run_dir``: checked/ (narrow per-doc intermediate),
+    violations/ (parquet), verdicts.parquet, manifest.json.
+    """
+    import ray
+
+    cfg = cfg or ValidateConfig()
+    os.makedirs(run_dir, exist_ok=True)
+    checked_dir = os.path.join(run_dir, "checked")
+    violations_dir = os.path.join(run_dir, "violations")
+    verdicts_path = os.path.join(run_dir, "verdicts.parquet")
+    manifest_path = os.path.join(run_dir, "manifest.json")
+
+    prof_df = pq.read_table(profiles_path).to_pandas()
+    profile_stats = {
+        r["partition_key"]: (float(r["mean_total"]), float(r["std_total"]), int(r["sample_count"]))
+        for _, r in prof_df.iterrows()
+    }
+    edges_by_pk = {
+        r["partition_key"]: np.asarray(r["bin_edges"], dtype=np.float64)
+        for _, r in prof_df.iterrows()
+    }
+    profile_map = {
+        r["partition_key"]: {
+            "bin_fracs": np.asarray(r["bin_fracs"], dtype=np.float64),
+            "sample_count": int(r["sample_count"]),
+        }
+        for _, r in prof_df.iterrows()
+    }
+    with open(media_bloom_path, "rb") as f:
+        bloom_bytes = f.read()
+
+    # Stage 1: parse + per-doc checks → narrow intermediate
+    if not (resume and stage_done(checked_dir)):
+        profiles_ref = ray.put(profile_stats)
+        bloom_ref = ray.put(bloom_bytes)
+        ds = read_documents(documents_path)
+        checked = ds.map_batches(parse_documents_batch, batch_format="pyarrow").map_batches(
+            PerDocChecks,
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            fn_constructor_kwargs={
+                "profiles_ref": profiles_ref,
+                "bloom_ref": bloom_ref,
+                "z_threshold": cfg.z_threshold,
+            },
+        )
+        with commit_dir(checked_dir) as tmp:
+            checked.write_parquet(tmp)
+
+    # Stage 2+3 inputs: column-pruned reads of the narrow intermediate
+    if not (resume and stage_done(violations_dir)):
+        per_doc = read_documents(checked_dir).map_batches(
+            _per_doc_violations, batch_format="pyarrow"
+        )
+        blocks = (
+            read_documents(
+                checked_dir,
+                columns=[
+                    "doc_id", "partition_key", "invnum_norm", "pdf_hash",
+                    "po_number", "total", "invoice_date", "missing_fields", "is_credit",
+                ],
+            )
+            .map_batches(_explode_blocks, batch_format="pyarrow")
+            .groupby(["partition_key", "family", "block_key"])
+            .map_groups(_make_block_checker(cfg), batch_format="pandas")
+        )
+        all_violations = per_doc.union(blocks)
+        with commit_dir(violations_dir) as tmp:
+            all_violations.write_parquet(tmp)
+
+    # Stage 3: per-partition drift + uniqueness verdicts
+    part_verdicts = (
+        read_documents(
+            checked_dir,
+            columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible"],
+        )
+        .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
+        .groupby("partition_key")
+        .map_groups(_make_partition_finalizer(profile_map, cfg), batch_format="pandas")
+        .to_pandas()
+    )
+
+    # Stage 4: assemble verdicts per (partition, check) from violation counts
+    vio = pq.read_table(violations_dir).to_pandas()
+    n_docs_by_pk = part_verdicts.groupby("partition_key")["n_docs"].max().to_dict()
+    check_of_reason = {
+        REASON_MISSING_FIELD: CHECK_SCHEMA,
+        REASON_EXACT_INVNUM: CHECK_DUPLICATE,
+        REASON_PDF_NEAR_DUP: CHECK_DUPLICATE,
+        REASON_SAME_PO_NEAR_TOTAL: CHECK_DUPLICATE,
+        REASON_BANK_CHANGE: CHECK_REFERENTIAL,
+        REASON_UNIT_PRICE_OUTLIER: CHECK_RANGE,
+    }
+    vio["check_name"] = vio["reason_code"].map(check_of_reason)
+    counts = (
+        vio.groupby(["partition_key", "check_name"]).size().rename("n_violations").reset_index()
+    )
+    rows = []
+    for pk_key, nd in sorted(n_docs_by_pk.items()):
+        for check in (CHECK_SCHEMA, CHECK_DUPLICATE, CHECK_REFERENTIAL, CHECK_RANGE):
+            nv = counts.loc[
+                (counts["partition_key"] == pk_key) & (counts["check_name"] == check),
+                "n_violations",
+            ]
+            nv = int(nv.iloc[0]) if len(nv) else 0
+            rows.append((pk_key, check, nv == 0, int(nd), nv, float(nv), ""))
+    verdicts = pd.concat(
+        [
+            pd.DataFrame(
+                rows,
+                columns=["partition_key", "check_name", "passed", "n_docs",
+                         "n_violations", "metric", "detail"],
+            ),
+            part_verdicts,
+        ],
+        ignore_index=True,
+    ).sort_values(["partition_key", "check_name"], kind="mergesort").reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(verdicts, preserve_index=False), verdicts_path)
+
+    # per-partition manifest: lineage + metrics (resumable-output contract)
+    manifest = {
+        "lineage": {
+            "documents_path": documents_path,
+            "profiles_path": profiles_path,
+            "profile_version": str(prof_df["profile_version"].iloc[0]) if len(prof_df) else None,
+            "engine_version": "0.1.0",
+            "config": {
+                "z_threshold": cfg.z_threshold,
+                "po_pct_tol": cfg.po_pct_tol,
+                "po_window_days": cfg.po_window_days,
+                "psi_threshold": cfg.psi_threshold,
+                "uniqueness_min_ratio": cfg.uniqueness_min_ratio,
+            },
+        },
+        "partitions": {
+            pk_key: {
+                "status": "done",
+                "n_docs": int(g["n_docs"].max()),
+                "n_violations": int(g["n_violations"].sum()),
+                "checks": {
+                    r["check_name"]: {"passed": bool(r["passed"]), "metric": float(r["metric"])}
+                    for _, r in g.iterrows()
+                },
+            }
+            for pk_key, g in verdicts.groupby("partition_key")
+        },
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+    return {
+        "checked": checked_dir,
+        "violations": violations_dir,
+        "verdicts": verdicts_path,
+        "manifest": manifest_path,
+        "n_violations": int(len(vio)),
+        "n_partitions": len(n_docs_by_pk),
+    }

@@ -1,0 +1,56 @@
+"""Storage seam: Parquet default, Lance optional.
+
+The target deployment reads Lance tables; this sandbox has no ``lance``
+package, so Parquet is the default backend and Lance is a thin adapter gated
+behind an import-try.  All pipeline code goes through these three functions —
+swapping the backend never touches a pipeline.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # optional Lance adapter (absent in this sandbox)
+    import lance  # type: ignore
+
+    _HAVE_LANCE = True
+except ImportError:
+    _HAVE_LANCE = False
+
+
+def _is_lance(path: str) -> bool:
+    return path.endswith(".lance")
+
+
+def read_documents(path: str, columns: list[str] | None = None, **kwargs: Any):
+    """Read a documents table (or any table) as a ray.data.Dataset.
+
+    ``path`` may be a parquet file, a directory of parquet parts, or a
+    ``.lance`` dataset when lance is installed.  Column pruning is pushed to
+    the reader.
+    """
+    import ray.data as rd
+
+    if _is_lance(path):
+        if not _HAVE_LANCE:
+            raise NotImplementedError(
+                "Lance backend requested but the 'lance' package is not installed; "
+                "use Parquet (the default backend) in this environment."
+            )
+        return rd.read_lance(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+read_table = read_documents
+
+
+def write_table(table: pa.Table, path: str) -> None:
+    """Write a small driver-side Arrow table (profiles, manifests)."""
+    if _is_lance(path):
+        if not _HAVE_LANCE:
+            raise NotImplementedError("lance not installed")
+        lance.write_dataset(table, path)  # pragma: no cover
+        return
+    pq.write_table(table, path)
