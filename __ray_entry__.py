@@ -1,44 +1,66 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship constraint-validation pipeline (profile pass +
+validate pass over a deterministic span-structured documents fixture — the
+BASELINE.json ``input_hint`` shape) and returns the violations table.
+``queries()``/``oracle_sql()`` expose the operator catalogue over the driver
+testdata tables (sievedata/queries.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_ENTRY_CACHE = "/tmp/sievedata_entry"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: generate the t1 span fixture (cached), learn
+    per-partition profiles from the unshifted baseline, validate the current
+    table, return the violations Dataset (stable schema: partition_key,
+    doc_id, reason_code, detail)."""
+    import ray.data as rd
+
+    from sievedata.fixtures import generate_fixture
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.validate import validate_documents
+
+    fix_dir = os.path.join(_ENTRY_CACHE, "fixture")
+    marker = os.path.join(fix_dir, "documents.parquet")
+    if not os.path.exists(marker):
+        generate_fixture(fix_dir, n_docs=2000, n_vendors=20, seed=42)
+    prof = build_profiles(
+        os.path.join(fix_dir, "baseline.parquet"),
+        os.path.join(fix_dir, "media_catalog.parquet"),
+        os.path.join(_ENTRY_CACHE, "profiles"),
+    )
+    res = validate_documents(
+        marker,
+        prof["profiles"],
+        prof["media_bloom"],
+        os.path.join(_ENTRY_CACHE, "validate"),
+        resume=False,
+    )
+    return rd.read_parquet(res["violations"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 (plus
+    the training-data-pipeline operators); see sievedata/queries.py."""
+    from sievedata.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents for every SQL-expressible entry
+    in ``queries()``; non-SQL ops (lang-ID, MinHash LSH, SimHash,
+    fingerprints, media decode) are intentionally omitted → rows-only check."""
+    from sievedata.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,83 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- Brute-force cosine top-k (the baseline): the query matrix is broadcast once
+  (``ray.put``), each map_batches task does one numpy matmul per batch and
+  emits its LOCAL top-k per query; a final small reduce merges per-query
+  candidates.  No shuffle of the corpus — only (n_queries × k) rows per block
+  move.
+- LSH-bucketed variant (the scale path): random-hyperplane signatures bucket
+  the corpus; queries probe only matching buckets (documented recall/cost
+  trade: multi-probe over ``n_probes`` nearby buckets).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches actor stage: local top-k cosine per corpus batch."""
+
+    def __init__(self, queries_ref, k: int = 5):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        self.qm = _normalize(np.asarray(qm, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        emb = _normalize(emb)
+        sims = self.qm @ emb.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in top[qi]:
+                rows_q.append(int(self.query_ids[qi]))
+                rows_n.append(int(vec_ids[j]))
+                rows_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+
+def merge_topk(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
+    """Final reduce: global top-k per query from per-block candidates.
+
+    Deterministic tiebreak: (-sim, neighbor_id).
+    """
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True],
+                        kind="mergesort")
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def hyperplane_signatures(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per vector: uint64 of (emb @ planes.T > 0) bits."""
+    bits = (emb @ planes.T) > 0
+    sig = np.zeros(emb.shape[0], dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return sig
+
+
+def make_planes(dim: int, n_bits: int = 12, seed: int = 77) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_bits, dim))

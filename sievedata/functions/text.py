@@ -1,0 +1,130 @@
+"""Text-analysis kernels for training-data pipelines, all vectorized per
+batch: token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  Used by map_batches stages over the ``documents`` table.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sievedata.sketches.hashing import hash64
+
+_WORD_RE = re.compile(r"[A-Za-z0-9']+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# (public-knowledge common function words)
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and a to in is you that it he was for on are".split()),
+    "de": frozenset("der die das und ist ein eine zu den von mit nicht".split()),
+    "fr": frozenset("le la les et un une des est pour que dans il".split()),
+    "es": frozenset("el la los las y un una de en es por que".split()),
+    "zh": frozenset(),  # no-latin-stopword fallback bucket
+}
+
+
+def token_count_column(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Whitespace-token count per string (vectorized)."""
+    counts = pc.list_value_length(pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
+    empty = pc.equal(pc.utf8_trim_whitespace(text), "")
+    return pc.if_else(empty, pa.scalar(0, pa.int32()), counts)
+
+
+def word_token_count_column(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Word-token count: count of alnum/apostrophe runs (regex compiled once
+    at module load; python loop is per-batch, not per-task)."""
+    return pa.array(
+        [len(_WORD_RE.findall(t)) if t is not None else 0 for t in text.to_pylist()],
+        pa.int64(),
+    )
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality signals per document."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text)
+    n_tokens = token_count_column(text)
+    # punct count = chars remaining after stripping alnum+space
+    punct = pc.utf8_length(pc.replace_substring_regex(text, r"[a-zA-Z0-9\s]", ""))
+    avg_token_len = pc.if_else(
+        pc.greater(n_tokens, 0),
+        pc.divide(
+            pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"\s+", "")), pa.float64()),
+            pc.cast(n_tokens, pa.float64()),
+        ),
+        pa.scalar(0.0),
+    )
+    out = batch.select([c for c in ("doc_id", text_col) if c in batch.column_names])
+    out = out.append_column("n_chars", pc.cast(n_chars, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("punct_count", pc.cast(punct, pa.int64()))
+    out = out.append_column("avg_token_len", avg_token_len)
+    return out
+
+
+class LangId:
+    """Stopword-profile language classifier — an actor-pool stage
+    (profiles + regex compiled once per actor in __init__)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z']+")
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def classify(self, text: str) -> str:
+        toks = self.word.findall(text.lower())
+        if not toks:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang in sorted(self.profiles):
+            hits = sum(1 for t in toks if t in self.profiles[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [self.classify(t or "") for t in batch.column("text").to_pylist()], pa.string()
+        )
+        return batch.select(["doc_id"]).append_column("lang_pred", preds)
+
+
+def fingerprint_column(text: pa.Array | pa.ChunkedArray, seed: int = 9001) -> pa.Array:
+    """64-bit content fingerprint per document (vectorized rolling hash)."""
+    h = hash64(text, seed=seed)
+    return pa.array([f"{int(x):016x}" for x in h], pa.string())
+
+
+def simhash_column(texts: list[str], n: int = 4, seed: int = 4242) -> np.ndarray:
+    """64-bit SimHash per document over char n-gram features.
+
+    Per batch: shingle each doc, hash shingles, accumulate signed bit votes.
+    """
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        if len(t) < n:
+            shingles = [t]
+        else:
+            shingles = [t[j : j + n] for j in range(len(t) - n + 1)]
+        hs = hash64(list(set(shingles)), seed=seed)
+        if hs.size == 0:
+            continue
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = a ^ b
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt

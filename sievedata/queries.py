@@ -1,0 +1,840 @@
+"""Query catalogue: every SURVEY.md §2 operator family expressed as a Ray
+Data pipeline over the driver testdata tables, with a matching DuckDB oracle
+SQL string where ANSI-SQL can express the semantics (driver correctness gate
+— see __ray_entry__.py).
+
+Conventions:
+- every callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table
+- computed columns are named identically in Ray and SQL
+- float aggregates are rounded identically on both sides (2dp) so
+  association-order ulp noise cannot flip the driver's value hash;
+  row-selecting float predicates (z ≥ 2.5) operate on unrounded values
+- reads prune columns at the source
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sievedata.kernels.normalize import desc_norm_array, invnum_norm_array
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Relational core: filter/project/aggregate (M11/A1 family)
+# --------------------------------------------------------------------------
+
+def q_returnflag_agg(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with a vectorized filter+projection."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 5.0))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_revenue"] = out["sum_revenue"].round(2)
+    return out
+
+
+SQL_RETURNFLAG_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       count(*) AS n_rows
+FROM lineitem WHERE l_quantity > 5
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_customer_baseline(sf_dir: str):
+    """Per-partition sum/std/count baseline — the reference's vendor amount
+    baseline job (scripts/train_anomaly.py:31) on orders/custkey.
+
+    Emits sum_total rather than mean: sums of 2-decimal money values land on
+    the 0.01 grid (far from the 0.005 rounding boundary) regardless of
+    accumulation order, so the driver's value-hash compare is
+    association-order-proof; mean = sum/count is derivable."""
+    from ray.data.aggregate import Count, Std, Sum
+
+    out = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("o_totalprice", alias_name="sum_total"),
+            Std("o_totalprice", alias_name="std_total"),
+            Count(alias_name="sample_count"),
+        )
+        .to_pandas()
+    )
+    out["sum_total"] = out["sum_total"].round(2)
+    out["std_total"] = out["std_total"].fillna(0.0).round(2)
+    return out
+
+
+SQL_CUSTOMER_BASELINE = """
+SELECT o_custkey,
+       round(sum(o_totalprice), 2) AS sum_total,
+       round(coalesce(stddev_samp(o_totalprice), 0), 2) AS std_total,
+       count(*) AS sample_count
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins: broadcast inner, multi-hop, anti (J1/J3 family)
+# --------------------------------------------------------------------------
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join (small side via ray.put) + grouped aggregate."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "c_mktsegment", pa.array([seg.get(k) for k in keys], pa.string())
+        )
+
+    out = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
+        .to_pandas()
+    )
+    out["sum_total"] = out["sum_total"].round(2)
+    return out
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_customers(sf_dir: str):
+    """Two-hop dimension join (customer → nation → region), both broadcast."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def attach(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("r_name", pa.array([lk.get(int(k)) for k in keys], pa.string()))
+
+    return (
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast anti semi-join: customers whose nation is NOT in region 0
+    (the Bloom/anti-lookup pattern of app/anomaly.py:46-68)."""
+    import ray
+
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    keys = set(nation.loc[nation["n_regionkey"] == 0, "n_nationkey"].tolist())
+    keys_ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = [int(x) not in k for x in t["c_nationkey"].to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array(mask)).select(["c_custkey"])
+
+    return _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort / top-k / per-group top-k (K1/K5 family)
+# --------------------------------------------------------------------------
+
+def q_topk_orders(sf_dir: str):
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    return out
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_top_order_per_customer(sf_dir: str):
+    """Per-group top-1 (the reference's top-match selection, app/main.py:305)."""
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(1)
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(top1, batch_format="pandas")
+    )
+
+
+SQL_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+"""
+
+
+def q_distinct_parts(sf_dir: str):
+    """Distinct-count per group (A4/A5 uniqueness family, exact)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_returnflag": [g["l_returnflag"].iloc[0]],
+             "n_parts": [g["l_partkey"].nunique()]}
+        )
+
+    return (
+        _rp(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+        .map_batches(partial, batch_format="pyarrow")  # per-block pre-dedup combiner
+        .groupby("l_returnflag")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+SQL_DISTINCT_PARTS = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup / duplicate flagging (D1 family)
+# --------------------------------------------------------------------------
+
+def q_dup_orders(sf_dir: str):
+    """Exact-key duplicate flagging: all-but-first per (custkey, status)
+    group, first = lowest orderkey (RR-001 semantics, app/rules.py:11-12)."""
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"o_custkey": pd.Series(dtype="int64"),
+                 "o_orderkey": pd.Series(dtype="int64"),
+                 "first_orderkey": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values("o_orderkey", kind="mergesort")
+        first = g["o_orderkey"].iloc[0]
+        rest = g.iloc[1:]
+        return pd.DataFrame(
+            {"o_custkey": rest["o_custkey"].to_numpy(),
+             "o_orderkey": rest["o_orderkey"].to_numpy(),
+             "first_orderkey": first}
+        )
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_orderkey"])
+        .groupby(["o_custkey", "o_orderstatus"])
+        .map_groups(flag, batch_format="pandas")
+    )
+
+
+SQL_DUP_ORDERS = """
+WITH g AS (
+  SELECT o_custkey, o_orderkey,
+         min(o_orderkey) OVER (PARTITION BY o_custkey, o_orderstatus) AS first_orderkey,
+         count(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, first_orderkey FROM g
+WHERE n > 1 AND o_orderkey != first_orderkey
+"""
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Global exact-dup stats on documents.text (M6 content-hash dedup)."""
+    from ray.data.aggregate import Count
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        from sievedata.sketches.hashing import hash64
+
+        h = hash64(t["text"].combine_chunks(), seed=5)
+        return pa.table({"text_hash": pa.array(h.astype(np.int64))})
+
+    ds = _rp(sf_dir, "documents", ["text"]).map_batches(hash_text, batch_format="pyarrow")
+    n_docs = ds.count()
+    n_distinct = ds.unique("text_hash")
+    return pd.DataFrame({"n_docs": [n_docs], "n_distinct_text": [len(n_distinct)]})
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Statistical outliers (A2 family)
+# --------------------------------------------------------------------------
+
+def q_price_outliers(sf_dir: str):
+    """Per-partition z-score outliers: |x−mean|/std ≥ 2.5 within l_partkey
+    (app/anomaly.py:77-87 re-expressed as aggregate → broadcast → filter)."""
+    import ray
+    from ray.data.aggregate import Count, Mean, Std
+
+    stats = (
+        _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .groupby("l_partkey")
+        .aggregate(
+            Mean("l_extendedprice", alias_name="m"),
+            Std("l_extendedprice", alias_name="s"),
+            Count(alias_name="c"),
+        )
+        .to_pandas()
+    )
+    stats_ref = ray.put(
+        {int(r["l_partkey"]): (float(r["m"]), float(r["s"])) for _, r in stats.iterrows()}
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        m = np.array([st[int(k)][0] for k in keys])
+        s = np.array([st[int(k)][1] for k in keys])
+        valid = np.isfinite(s) & (s > 0)
+        z = np.where(valid, np.abs(x - m) / np.where(valid, s, 1.0), 0.0)
+        keep = z >= 2.5
+        out = t.filter(pa.array(keep)).select(["l_orderkey", "l_linenumber", "l_partkey"])
+        return out.append_column("z", pa.array(np.round(z[keep], 2)))
+
+    return _rp(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"]
+    ).map_batches(flag, batch_format="pyarrow")
+
+
+SQL_PRICE_OUTLIERS = """
+WITH s AS (
+  SELECT l_partkey, avg(l_extendedprice) AS m, stddev_samp(l_extendedprice) AS s
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_orderkey, l_linenumber, l.l_partkey, round(abs(l_extendedprice - m) / s, 2) AS z
+FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+WHERE s IS NOT NULL AND s > 0 AND abs(l_extendedprice - m) / s >= 2.5
+"""
+
+
+# --------------------------------------------------------------------------
+# String normalization kernels (M1-M4 family)
+# --------------------------------------------------------------------------
+
+def q_invnum_norm(sf_dir: str):
+    """invnum_norm (NR-001) over synthetic invoice numbers from orderkeys."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        raw = pa.array([f"INV-{int(k):09d}" for k in keys], pa.string())
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "invnum_norm": invnum_norm_array(raw)}
+        )
+
+    return _rp(sf_dir, "orders", ["o_orderkey"]).map_batches(norm, batch_format="pyarrow")
+
+
+SQL_INVNUM_NORM = """
+SELECT o_orderkey,
+       CASE WHEN t = '' THEN '0' ELSE t END AS invnum_norm
+FROM (
+  SELECT o_orderkey,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(upper(printf('INV-%09d', o_orderkey)), '[\\s\\-_/]', '', 'g'),
+             '^(INVOICE|INV|BILL)', ''),
+           '^0+', '') AS t
+  FROM orders
+)
+"""
+
+
+def q_desc_norm(sf_dir: str):
+    """desc_norm (NR-003) over order priorities ('1-URGENT' → '1 urgent')."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "priority_norm": desc_norm_array(t["o_orderpriority"].combine_chunks()),
+            }
+        )
+
+    return _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+SQL_DESC_NORM = """
+SELECT o_orderkey,
+       trim(regexp_replace(regexp_replace(lower(o_orderpriority), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS priority_norm
+FROM orders
+"""
+
+
+def q_mask_hash(sf_dir: str):
+    """PII masking + deterministic hashing (M3/M4) over customer names."""
+
+    def mh(t: pa.Table) -> pa.Table:
+        from sievedata.kernels.normalize import hash_account, mask_account_last4
+
+        names = t["c_name"].to_pylist()
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "masked": pa.array([mask_account_last4(x) for x in names], pa.string()),
+                "name_hash": pa.array([hash_account(x) for x in names], pa.string()),
+            }
+        )
+
+    return _rp(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        mh, batch_format="pyarrow"
+    )
+
+
+SQL_MASK_HASH = """
+SELECT c_custkey,
+       CASE WHEN regexp_replace(c_name, '\\D', '', 'g') = '' THEN '****'
+            ELSE '****' || right(regexp_replace(c_name, '\\D', '', 'g'), 4) END AS masked,
+       lower(sha256(c_name)) AS name_hash
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data pipeline family)
+# --------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    """Token/char/punct counting per document — all-integer outputs."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        from sievedata.functions.text import token_count_column
+
+        text = t["text"].combine_chunks()
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(token_count_column(text), pa.int64())
+        punct = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(text, r"[a-zA-Z0-9\s]", "")), pa.int64()
+        )
+        nonspace = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(text, r"\s+", "")), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_chars": n_chars, "n_tokens": n_tokens,
+             "punct_count": punct, "n_nonspace": nonspace}
+        )
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct_count,
+       length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+FROM documents
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality-score gate: keep docs in a token-count band with no punct."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        from sievedata.functions.text import token_count_column
+
+        text = t["text"].combine_chunks()
+        n_tokens = pc.cast(token_count_column(text), pa.int64())
+        punct = pc.utf8_length(pc.replace_substring_regex(text, r"[a-zA-Z0-9\s]", ""))
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(n_tokens, 40), pc.less_equal(n_tokens, 90)),
+            pc.equal(punct, 0),
+        )
+        return pa.table({"doc_id": t["doc_id"]}).filter(mask)
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+SQL_QUALITY_FILTER = """
+SELECT doc_id FROM documents
+WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 40 AND 90
+  AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) = 0
+  AND trim(text) != ''
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: tumbling windows + sessionization (streaming-shaped)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def trunc(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"hour": hour, "event_type": t["event_type"], "value": t["value"]}
+        )
+
+    out = (
+        _rp(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(trunc, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user session count with a 30-min inactivity gap
+    (groupby(key).map_groups over ts-sorted events — the engine's
+    streaming-window idiom)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values(kind="mergesort")
+        gaps = ts.diff().dt.total_seconds().fillna(0.0)
+        n = 1 + int((gaps > gap_minutes * 60).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return (
+        _rp(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       1 + sum(CASE WHEN prev_ts IS NOT NULL
+                     AND ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul,
+    local top-k, final merge (functions/ann.py)."""
+    import ray
+
+    from sievedata.functions.ann import BruteForceTopK, merge_topk
+
+    qdf = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < n_queries)
+        .to_pandas()
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    queries_ref = ray.put((qids, qm))
+
+    cands = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            BruteForceTopK,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        )
+        .to_pandas()
+    )
+    cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    out = merge_topk(cands, k=k)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+SQL_ANN_TOPK = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only operators (no ANSI-SQL equivalent; driver does a rows check)
+# --------------------------------------------------------------------------
+
+def q_lang_id(sf_dir: str):
+    from sievedata.functions.text import LangId
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    def fp(t: pa.Table) -> pa.Table:
+        from sievedata.functions.text import fingerprint_column
+
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "fingerprint": fingerprint_column(t["text"].combine_chunks())}
+        )
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    def sh(t: pa.Table) -> pa.Table:
+        from sievedata.functions.text import simhash_column
+
+        sig = simhash_column(t["text"].to_pylist())
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "simhash": pa.array([f"{int(x):016x}" for x in sig], pa.string())}
+        )
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(sh, batch_format="pyarrow")
+
+
+def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
+    """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
+
+    shingle→minhash per batch → band-explode → groupby(band) → pairs →
+    dedup pairs → verify with exact n-gram Jaccard (broadcast text of
+    candidate docs only)."""
+    import ray
+
+    from sievedata.functions.dedup import (
+        candidate_pairs_from_band,
+        exact_jaccard,
+        lsh_band_rows,
+        minhash_signature_batch,
+    )
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = [str(x) for x in t["doc_id"].to_pylist()]
+        sigs = minhash_signature_batch(t["text"].to_pylist())
+        return lsh_band_rows(ids, sigs)
+
+    pairs = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(candidate_pairs_from_band, batch_format="pandas")
+        .to_pandas()
+    )
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    if not len(pairs):
+        return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str),
+                             "jaccard": pd.Series(dtype=float)})
+
+    needed = sorted(set(pairs["a"]) | set(pairs["b"]))
+    texts = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .filter(lambda r: str(r["doc_id"]) in set(needed))
+        .to_pandas()
+    )
+    lookup = dict(zip(texts["doc_id"].astype(str), texts["text"]))
+    jac = [exact_jaccard(lookup[a], lookup[b]) for a, b in zip(pairs["a"], pairs["b"])]
+    pairs["jaccard"] = np.round(jac, 4)
+    out = pairs[pairs["jaccard"] >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
+    return out
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: text payloads as opaque binary → actor-pool
+    fake-decode feature extraction (functions/media.py; real codecs stubbed)."""
+    from sievedata.functions.media import MediaFeatureExtractor
+
+    def to_media(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        return pa.table(
+            {
+                "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
+                "kind": pa.array(["image"] * t.num_rows, pa.string()),
+                "payload": pc.cast(text, pa.binary()),
+            }
+        )
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            MediaFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,  # small batches: media payloads are wide rows
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"fake": True},
+        )
+    )
+
+
+def q_embedding_norms(sf_dir: str):
+    """L2 norms per embedding (vectorized numpy over Arrow lists)."""
+
+    def norms(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+        offs = np.asarray(emb.offsets)
+        sq = np.add.reduceat(flat * flat, offs[:-1])
+        sq[np.diff(offs) == 0] = 0.0
+        return pa.table(
+            {"vec_id": t["vec_id"], "l2_norm": pa.array(np.round(np.sqrt(sq), 4))}
+        )
+
+    return _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        norms, batch_format="pyarrow"
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+_ORACLE = {
+    "returnflag_agg": SQL_RETURNFLAG_AGG,
+    "customer_baseline": SQL_CUSTOMER_BASELINE,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "region_customers": SQL_REGION_CUSTOMERS,
+    "anti_join": SQL_ANTI_JOIN,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "top_order_per_customer": SQL_TOP_ORDER_PER_CUSTOMER,
+    "distinct_parts": SQL_DISTINCT_PARTS,
+    "dup_orders": SQL_DUP_ORDERS,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "price_outliers": SQL_PRICE_OUTLIERS,
+    "invnum_norm": SQL_INVNUM_NORM,
+    "desc_norm": SQL_DESC_NORM,
+    "mask_hash": SQL_MASK_HASH,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+}
+
+_QUERIES = {
+    "returnflag_agg": q_returnflag_agg,
+    "customer_baseline": q_customer_baseline,
+    "segment_revenue": q_segment_revenue,
+    "region_customers": q_region_customers,
+    "anti_join": q_anti_join,
+    "topk_orders": q_topk_orders,
+    "top_order_per_customer": q_top_order_per_customer,
+    "distinct_parts": q_distinct_parts,
+    "dup_orders": q_dup_orders,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "price_outliers": q_price_outliers,
+    "invnum_norm": q_invnum_norm,
+    "desc_norm": q_desc_norm,
+    "mask_hash": q_mask_hash,
+    "token_stats": q_token_stats,
+    "quality_filter": q_quality_filter,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "ann_topk": q_ann_topk,
+    "embedding_norms": q_embedding_norms,
+    # rows-only (no SQL equivalent)
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "simhash": q_simhash,
+    "minhash_near_dups": q_minhash_near_dups,
+    "media_features": q_media_features,
+}
+
+
+def queries():
+    return dict(_QUERIES)
+
+
+def oracle_sql():
+    return dict(_ORACLE)
