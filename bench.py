@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the flagship span-document validation at bench
+scale, under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), and prints ONE JSON
+line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "validated_docs_per_sec": ...}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 then 32) on
+the same (cached, page-warmed) input and reports both throughputs + scaling
+efficiency eff = (t8/t32)/4.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench fixture scale keyed by sf dir name (cached under /tmp)
+_FIXTURE_SCALE = {"sf0.001": (2_000, 20), "sf0.01": (20_000, 200), "sf0.1": (200_000, 1_000)}
+
+BENCH_QUERIES = [
+    "returnflag_agg",
+    "customer_baseline",
+    "segment_revenue",
+    "price_outliers",
+    "top_order_per_customer",
+    "dup_orders",
+    "token_stats",
+    "quality_filter",
+    "events_sessions",
+    "ann_topk",
+    "minhash_near_dups",
+    "simhash",
+]
+
+
+def _fixture_params() -> tuple[str, int, int]:
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    n_docs, n_vendors = _FIXTURE_SCALE.get(name, (20_000, 200))
+    cache = f"/tmp/sievedata_bench_{name}_{n_docs}"
+    return cache, n_docs, n_vendors
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from sievedata.fixtures import generate_fixture_ray
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.validate import validate_documents
+    from sievedata.queries import queries as all_queries
+
+    cache, n_docs, n_vendors = _fixture_params()
+    fix = generate_fixture_ray(cache, n_docs=n_docs, n_vendors=n_vendors)
+
+    # warm OS page cache so both scaling runs measure compute, not first read
+    for sub in ("documents", "baseline"):
+        p = fix[sub]
+        for root, _, files in os.walk(p):
+            for f in files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    fh.read()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    prof = build_profiles(
+        fix["baseline"], fix["media_catalog"], os.path.join(cache, f"profiles_{NUM_CPUS}")
+    )
+    timings["flagship_profile"] = round(time.perf_counter() - t0, 3)
+
+    run_dir = os.path.join(cache, f"validate_{NUM_CPUS}")
+    t0 = time.perf_counter()
+    validate_documents(
+        fix["documents"], prof["profiles"], prof["media_bloom"], run_dir, resume=False
+    )
+    t_validate = time.perf_counter() - t0
+    timings["flagship_validate"] = round(t_validate, 3)
+
+    # count validated docs (current table incl. twins)
+    import pyarrow.parquet as pq
+
+    n_validated = sum(
+        pq.read_metadata(os.path.join(r, f)).num_rows
+        for r, _, fs in os.walk(fix["documents"])
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    docs_per_sec = n_validated / t_validate
+
+    qmap = all_queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qmap[name](SF_DIR)
+        # force execution for lazy Datasets
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline pipelines total wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "validated_docs": n_validated,
+        "validated_docs_per_sec": round(docs_per_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tp8 = results[8]["validated_docs_per_sec"]
+    tp32 = results[32]["validated_docs_per_sec"]
+    eff_docs = (tp32 / tp8) / 4.0
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff_total = (t8 / t32) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency 8→32 cpus",
+                "sec_8": t8,
+                "sec_32": t32,
+                "docs_per_sec_8": tp8,
+                "docs_per_sec_32": tp32,
+                "scaling_efficiency_total": round(eff_total, 3),
+                "scaling_efficiency_validate": round(eff_docs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

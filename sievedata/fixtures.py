@@ -275,15 +275,23 @@ def doc_to_spans(doc: dict) -> list[dict]:
 def generate_docs_table(
     seed: int, n_docs: int, n_vendors: int, table: str,
     vendor_range: tuple[int, int] | None = None,
+    spans_plan: list[tuple[int, int, int]] | None = None,
 ) -> tuple[pa.Table, list[str]]:
-    """Build the documents Arrow table (+ list of clean media_refs)."""
-    counts = zipf_counts(n_docs, n_vendors)
-    lo, hi = vendor_range or (0, n_vendors)
+    """Build the documents Arrow table (+ list of clean media_refs).
+
+    ``spans_plan``: explicit [(vendor_idx, seq_lo, seq_hi)] work items for
+    parallel sharded generation (rows are counter-based independent, so any
+    split produces identical rows).
+    """
+    if spans_plan is None:
+        counts = zipf_counts(n_docs, n_vendors)
+        lo, hi = vendor_range or (0, n_vendors)
+        spans_plan = [(v, 0, int(counts[v])) for v in range(lo, hi)]
     doc_ids: list[str] = []
     span_lists: list[list[dict]] = []
     media_refs: list[str] = []
-    for vendor_idx in range(lo, hi):
-        for seq in range(int(counts[vendor_idx])):
+    for vendor_idx, seq_lo, seq_hi in spans_plan:
+        for seq in range(seq_lo, seq_hi):
             doc, twin = make_doc(seed, vendor_idx, seq, table)
             for d in (doc, twin) if twin is not None else (doc,):
                 doc_ids.append(d["doc_id"])
@@ -294,6 +302,97 @@ def generate_docs_table(
         {"doc_id": doc_ids, "spans": span_lists}, schema=DOCUMENTS
     )
     return tbl, media_refs
+
+
+def _plan_shards(
+    counts: np.ndarray, n_shards: int
+) -> list[list[tuple[int, int, int]]]:
+    """Split (vendor, seq-range) work into ~equal-doc shards — hot Zipf-head
+    vendors are split across shards by seq range."""
+    total = int(counts.sum())
+    per_shard = max(total // n_shards, 1)
+    shards: list[list[tuple[int, int, int]]] = []
+    cur: list[tuple[int, int, int]] = []
+    cur_n = 0
+    for v, c in enumerate(counts):
+        seq = 0
+        c = int(c)
+        while seq < c:
+            if len(shards) >= n_shards - 1:
+                take = c - seq  # final shard takes everything remaining
+            else:
+                take = max(min(c - seq, per_shard - cur_n), 1)
+            cur.append((v, seq, seq + take))
+            seq += take
+            cur_n += take
+            if cur_n >= per_shard and len(shards) < n_shards - 1:
+                shards.append(cur)
+                cur, cur_n = [], 0
+    if cur:
+        shards.append(cur)
+    return shards
+
+
+def generate_fixture_ray(
+    out_dir: str,
+    n_docs: int,
+    n_vendors: int,
+    seed: int = SEED_DEFAULT,
+    n_shards: int = 64,
+) -> dict[str, str]:
+    """Sharded parallel fixture generation via Ray tasks (bench scale).
+
+    Writes documents/ and baseline/ as directories of parquet shards plus
+    media_catalog.parquet; byte-equivalent rows to generate_fixture (modulo
+    sharding layout) because row randomness is counter-based.
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_marker = os.path.join(out_dir, "_SUCCESS")
+    paths = {
+        "documents": os.path.join(out_dir, "documents"),
+        "baseline": os.path.join(out_dir, "baseline"),
+        "media_catalog": os.path.join(out_dir, "media_catalog.parquet"),
+    }
+    if os.path.exists(done_marker):
+        return paths
+
+    counts = zipf_counts(n_docs, n_vendors)
+    shards = _plan_shards(counts, n_shards)
+
+    @ray.remote
+    def gen_shard(plan, table, path):
+        tbl, refs = generate_docs_table(seed, n_docs, n_vendors, table, spans_plan=plan)
+        pq.write_table(tbl, path)
+        return refs
+
+    futures = []
+    for table in ("current", "baseline"):
+        sub = paths["documents" if table == "current" else "baseline"]
+        os.makedirs(sub, exist_ok=True)
+        for i, plan in enumerate(shards):
+            futures.append(
+                gen_shard.remote(plan, table, os.path.join(sub, f"part-{i:05d}.parquet"))
+            )
+    all_refs: set[str] = set()
+    for refs in ray.get(futures):
+        all_refs.update(refs)
+
+    refs_sorted = sorted(all_refs)
+    epoch = np.datetime64("2025-01-01T00:00:00", "us")
+    catalog = pa.Table.from_pydict(
+        {
+            "media_ref": refs_sorted,
+            "size_bytes": [1000 + (len(r) * 37) % 9000 for r in refs_sorted],
+            "first_seen": [epoch + np.timedelta64(i, "s") for i in range(len(refs_sorted))],
+        },
+        schema=MEDIA_CATALOG,
+    )
+    pq.write_table(catalog, paths["media_catalog"])
+    with open(done_marker, "w") as f:
+        f.write("")
+    return paths
 
 
 def generate_fixture(
