@@ -103,12 +103,14 @@ def _merge_sketch_group(df: pd.DataFrame) -> pd.DataFrame:
     h_doc = HyperLogLog()
     h_inv = HyperLogLog()
     hist: dict[str, int] = {}
-    for _, row in df.iterrows():
-        m = m.merged(Moments.from_bytes(row["moments"]))
-        td = td.merged(TDigest.from_bytes(row["tdigest"]))
-        h_doc = h_doc.merged(HyperLogLog.from_bytes(row["hll_doc_id"]))
-        h_inv = h_inv.merged(HyperLogLog.from_bytes(row["hll_invnum"]))
-        for k, v in json.loads(row["span_hist"]).items():
+    for mb, tb, hdb, hib, shb in zip(
+        df["moments"], df["tdigest"], df["hll_doc_id"], df["hll_invnum"], df["span_hist"]
+    ):
+        m = m.merged(Moments.from_bytes(mb))
+        td = td.merged(TDigest.from_bytes(tb))
+        h_doc = h_doc.merged(HyperLogLog.from_bytes(hdb))
+        h_inv = h_inv.merged(HyperLogLog.from_bytes(hib))
+        for k, v in json.loads(shb).items():
             hist[k] = hist.get(k, 0) + v
     return pd.DataFrame(
         {

@@ -82,6 +82,11 @@ class ValidateConfig:
     psi_noise_factor: float = 4.0
     uniqueness_min_ratio: float = 0.9
     pair_scan_cap: int = 200  # BR-004 candidate cap (requirements.md:99)
+    # dup-check shuffle granularity: block rows are hash-bucketed on the full
+    # (partition, family, block_key) so one map_groups call handles a whole
+    # bucket vectorized (≈4×cores buckets) instead of one python UDF call per
+    # micro-group; bucket membership is deterministic, results identical
+    n_dup_buckets: int = 128
 
 
 class PerDocChecks:
@@ -113,10 +118,12 @@ class PerDocChecks:
         credit = batch.column("is_credit").to_numpy(zero_copy_only=False).astype(bool)
         eligible = (~missing) & (~credit)
 
-        mean = np.array([self.mean.get(k, 0.0) for k in pk])
-        std = np.array([self.std.get(k, 0.0) for k in pk])
-        cnt = np.array([self.count.get(k, 0) for k in pk])
-        has_prof = np.array([k in self.mean for k in pk])
+        # factorize: one python dict lookup per DISTINCT vendor in the batch
+        uniq, inv = np.unique(pk, return_inverse=True)
+        mean = np.array([self.mean.get(k, 0.0) for k in uniq])[inv]
+        std = np.array([self.std.get(k, 0.0) for k in uniq])[inv]
+        cnt = np.array([self.count.get(k, 0) for k in uniq])[inv]
+        has_prof = np.array([k in self.mean for k in uniq])[inv]
 
         dev = np.abs(total - mean)
         z = np.where(
@@ -185,88 +192,131 @@ _EMPTY_BLOCKS = pa.table(
         "doc_id": pa.array([], pa.string()),
         "total": pa.array([], pa.float64()),
         "invoice_date": pa.array([], pa.date32()),
+        "bucket": pa.array([], pa.int64()),
     }
 )
 
 
-def _explode_blocks(batch: pa.Table) -> pa.Table:
-    """Emit (partition_key, family, block_key) rows for the dup families."""
-    mask = pc.and_(
-        pc.equal(batch.column("missing_fields"), ""),
-        pc.invert(batch.column("is_credit")),
-    )
-    elig = batch.filter(mask)
-    if elig.num_rows == 0:
-        return _EMPTY_BLOCKS
-    outs = []
-    for family, key_col in (("invnum", "invnum_norm"), ("pdf", "pdf_hash"), ("po", "po_number")):
-        keys = elig.column(key_col)
-        sub = elig.filter(pc.invert(pc.is_null(keys)))
-        if sub.num_rows == 0:
-            continue
-        outs.append(
-            pa.table(
-                {
-                    "partition_key": sub.column("partition_key"),
-                    "family": pa.array([family] * sub.num_rows, pa.string()),
-                    "block_key": sub.column(key_col).cast(pa.string()),
-                    "doc_id": sub.column("doc_id"),
-                    "total": sub.column("total"),
-                    "invoice_date": sub.column("invoice_date"),
-                }
-            )
+def _make_explode_blocks(n_buckets: int):
+    def explode(batch: pa.Table) -> pa.Table:
+        """Emit (partition_key, family, block_key, bucket) rows for the dup
+        families — the reference's blocking keys (app/retrieval.py:22-29)."""
+        from sievedata.sketches.hashing import hash64
+
+        mask = pc.and_(
+            pc.equal(batch.column("missing_fields"), ""),
+            pc.invert(batch.column("is_credit")),
         )
-    return pa.concat_tables(outs) if outs else _EMPTY_BLOCKS
+        elig = batch.filter(mask)
+        if elig.num_rows == 0:
+            return _EMPTY_BLOCKS
+        outs = []
+        for family, key_col in (("invnum", "invnum_norm"), ("pdf", "pdf_hash"), ("po", "po_number")):
+            keys = elig.column(key_col)
+            sub = elig.filter(pc.invert(pc.is_null(keys)))
+            if sub.num_rows == 0:
+                continue
+            combined = pc.binary_join_element_wise(
+                sub.column("partition_key").cast(pa.string()),
+                pa.scalar(family),
+                sub.column(key_col).cast(pa.string()),
+                "\x1f",
+            )
+            bucket = (hash64(combined.combine_chunks(), seed=31) % np.uint64(n_buckets)).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "partition_key": sub.column("partition_key"),
+                        "family": pa.array([family] * sub.num_rows, pa.string()),
+                        "block_key": sub.column(key_col).cast(pa.string()),
+                        "doc_id": sub.column("doc_id"),
+                        "total": sub.column("total"),
+                        "invoice_date": sub.column("invoice_date"),
+                        "bucket": pa.array(bucket),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else _EMPTY_BLOCKS
+
+    return explode
 
 
-def _make_block_checker(cfg: ValidateConfig):
+def _make_bucket_checker(cfg: ValidateConfig):
     pct_tol = cfg.po_pct_tol
     window = cfg.po_window_days
     cap = cfg.pair_scan_cap
 
-    def check_block(g: pd.DataFrame) -> pd.DataFrame:
-        """Deterministic within-block duplicate rules (RR-001/002/003).
+    def check_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized within-bucket duplicate rules (RR-001/002/003).
 
-        Doc order inside a block = doc_id ascending; every doc beyond the
-        first matching doc is the flagged one (the reference flags the *new*
-        invoice; doc_id order is our deterministic arrival order).
+        One bucket holds MANY (partition, family, block_key) groups; the
+        exact-key families are handled with pandas groupby transforms (no
+        per-group python), the po near-total family falls back to a python
+        pair scan over only the (rare) multi-doc po groups.  Doc order inside
+        a block = doc_id ascending; every doc beyond the first is the flagged
+        one (the reference flags the *new* invoice; doc_id order is our
+        deterministic arrival order).
         """
-        if len(g) < 2:
+        if not len(df):
             return _EMPTY_VIOLATIONS_DF
-        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        family = g["family"].iat[0]
-        pk = g["partition_key"].iat[0]
-        key = g["block_key"].iat[0]
-        rows: list[tuple[str, str, str, str]] = []
-        if family == "invnum":
-            first = g["doc_id"].iat[0]
-            for d in g["doc_id"].iloc[1:]:
-                rows.append((pk, d, REASON_EXACT_INVNUM, f"invnum_norm={key};first={first}"))
-        elif family == "pdf":
-            first = g["doc_id"].iat[0]
-            for d in g["doc_id"].iloc[1:]:
-                rows.append((pk, d, REASON_PDF_NEAR_DUP, f"pdf_hash={key};first={first}"))
-        else:  # po family: near-total within date window (rule_same_po_near_total)
-            totals = g["total"].to_numpy(dtype=float)
-            dates = pd.to_datetime(g["invoice_date"]).to_numpy().astype("datetime64[D]")
-            n = len(g)
-            for j in range(1, n):
-                lo = max(0, j - cap)
-                tj = totals[j]
-                tol = pct_tol * max(abs(tj), 1.0)
-                for i in range(lo, j):
-                    gap = abs((dates[j] - dates[i]).astype(int))
-                    if abs(tj - totals[i]) <= tol and gap <= window:
-                        rows.append(
-                            (pk, g["doc_id"].iat[j], REASON_SAME_PO_NEAR_TOTAL,
-                             f"po={key};match={g['doc_id'].iat[i]}")
-                        )
-                        break
-        if not rows:
-            return _EMPTY_VIOLATIONS_DF
-        return pd.DataFrame(rows, columns=["partition_key", "doc_id", "reason_code", "detail"])
+        df = df.sort_values(
+            ["partition_key", "family", "block_key", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        grp = df.groupby(["partition_key", "family", "block_key"], sort=False)
+        first = grp["doc_id"].transform("first")
+        size = grp["doc_id"].transform("size")
+        dup = (size >= 2) & (df["doc_id"] != first)
 
-    return check_block
+        frames = []
+        for family, code, label in (
+            ("invnum", REASON_EXACT_INVNUM, "invnum_norm"),
+            ("pdf", REASON_PDF_NEAR_DUP, "pdf_hash"),
+        ):
+            sel = df[dup & (df["family"] == family)]
+            if len(sel):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "partition_key": sel["partition_key"].to_numpy(),
+                            "doc_id": sel["doc_id"].to_numpy(),
+                            "reason_code": code,
+                            "detail": (
+                                label + "=" + sel["block_key"] + ";first=" + first[sel.index]
+                            ).to_numpy(),
+                        }
+                    )
+                )
+
+        po = df[(df["family"] == "po") & (size >= 2)]
+        if len(po):
+            rows: list[tuple[str, str, str, str]] = []
+            for (pk, _f, key), g in po.groupby(
+                ["partition_key", "family", "block_key"], sort=False
+            ):
+                totals = g["total"].to_numpy(dtype=float)
+                dates = pd.to_datetime(g["invoice_date"]).to_numpy().astype("datetime64[D]")
+                ids = g["doc_id"].to_numpy()
+                for j in range(1, len(g)):
+                    lo = max(0, j - cap)
+                    tj = totals[j]
+                    tol = pct_tol * max(abs(tj), 1.0)
+                    for i in range(lo, j):
+                        gap = abs((dates[j] - dates[i]).astype(int))
+                        if abs(tj - totals[i]) <= tol and gap <= window:
+                            rows.append(
+                                (pk, ids[j], REASON_SAME_PO_NEAR_TOTAL,
+                                 f"po={key};match={ids[i]}")
+                            )
+                            break
+            if rows:
+                frames.append(
+                    pd.DataFrame(rows, columns=["partition_key", "doc_id", "reason_code", "detail"])
+                )
+        if not frames:
+            return _EMPTY_VIOLATIONS_DF
+        return pd.concat(frames, ignore_index=True)
+
+    return check_bucket
 
 
 _EMPTY_VIOLATIONS_DF = pd.DataFrame(
@@ -434,9 +484,9 @@ def validate_documents(
                     "po_number", "total", "invoice_date", "missing_fields", "is_credit",
                 ],
             )
-            .map_batches(_explode_blocks, batch_format="pyarrow")
-            .groupby(["partition_key", "family", "block_key"])
-            .map_groups(_make_block_checker(cfg), batch_format="pandas")
+            .map_batches(_make_explode_blocks(cfg.n_dup_buckets), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_make_bucket_checker(cfg), batch_format="pandas")
         )
         all_violations = per_doc.union(blocks)
         with commit_dir(violations_dir) as tmp:
