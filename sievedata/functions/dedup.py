@@ -37,19 +37,34 @@ def minhash_signature_batch(
 
     Kirsch-Mitzenmacher: perm_i(x) = h1(x) + i·h2(x) — two base hashes per
     shingle, num_perm derived permutations, min over shingles.
+
+    Vectorized across the whole batch: ONE hash call over the concatenated
+    shingle list, then per-permutation segment minima via
+    ``np.minimum.reduceat`` — no per-document hashing overhead.
     """
-    out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    ii = np.arange(num_perm, dtype=np.uint64)
+    n_docs = len(texts)
+    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    all_shingles: list[str] = []
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
     for row, t in enumerate(texts):
         t = t or ""
         if len(t) < n:
-            shingles = [t]
+            sh = [t]
         else:
-            shingles = list({t[i : i + n] for i in range(len(t) - n + 1)})
-        h1, h2 = hash64_pair(shingles, seed=seed)
-        with np.errstate(over="ignore"):
-            grid = h1[:, None] + ii[None, :] * h2[:, None]
-        out[row] = grid.min(axis=0)
+            sh = list({t[i : i + n] for i in range(len(t) - n + 1)})
+        all_shingles.extend(sh)
+        offsets[row + 1] = offsets[row] + len(sh)
+    if not all_shingles:
+        return out
+    h1, h2 = hash64_pair(all_shingles, seed=seed)
+    starts = offsets[:-1]
+    nonempty = np.diff(offsets) > 0
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            v = h1 + np.uint64(i) * h2
+            mins = np.minimum.reduceat(v, starts[nonempty]) if nonempty.any() else None
+            if mins is not None:
+                out[nonempty, i] = mins
     return out
 
 

@@ -216,15 +216,26 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def q_top_order_per_customer(sf_dir: str):
     """Per-group top-1 (the reference's top-match selection, app/main.py:305)."""
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(1)
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % n_buckets))
+
+    def top1_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = df.groupby("o_custkey", sort=False).head(1)
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]].reset_index(drop=True)
 
     return (
         _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(top1, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(top1_bucket, batch_format="pandas")
+        .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
     )
 
 
@@ -267,28 +278,35 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_dup_orders(sf_dir: str):
     """Exact-key duplicate flagging: all-but-first per (custkey, status)
-    group, first = lowest orderkey (RR-001 semantics, app/rules.py:11-12)."""
+    group, first = lowest orderkey (RR-001 semantics, app/rules.py:11-12).
 
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"o_custkey": pd.Series(dtype="int64"),
-                 "o_orderkey": pd.Series(dtype="int64"),
-                 "first_orderkey": pd.Series(dtype="int64")}
-            )
-        g = g.sort_values("o_orderkey", kind="mergesort")
-        first = g["o_orderkey"].iloc[0]
-        rest = g.iloc[1:]
-        return pd.DataFrame(
-            {"o_custkey": rest["o_custkey"].to_numpy(),
-             "o_orderkey": rest["o_orderkey"].to_numpy(),
-             "first_orderkey": first}
-        )
+    Hash-bucketed shuffle (one vectorized pandas pass per bucket) instead of
+    one python UDF call per micro-group — the engine's dedup idiom."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        # batch-independent key hash (same (custkey,status) → same bucket)
+        s_codes = np.array([ord(x[0]) if x else 0 for x in s], dtype=np.int64)
+        bucket = ((k * 31 + s_codes) % n_buckets).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def flag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderstatus", "o_orderkey"], kind="mergesort")
+        grp = df.groupby(["o_custkey", "o_orderstatus"], sort=False)
+        first = grp["o_orderkey"].transform("min")
+        keep = df["o_orderkey"] != first
+        out = df.loc[keep, ["o_custkey", "o_orderkey"]].copy()
+        out["first_orderkey"] = first[keep]
+        return out.reset_index(drop=True)
 
     return (
         _rp(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_orderkey"])
-        .groupby(["o_custkey", "o_orderstatus"])
-        .map_groups(flag, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(flag_bucket, batch_format="pandas")
+        .select_columns(["o_custkey", "o_orderkey", "first_orderkey"])
     )
 
 
@@ -353,8 +371,9 @@ def q_price_outliers(sf_dir: str):
         st = ray.get(stats_ref)
         keys = t["l_partkey"].to_numpy(zero_copy_only=False)
         x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        m = np.array([st[int(k)][0] for k in keys])
-        s = np.array([st[int(k)][1] for k in keys])
+        uniq, inv = np.unique(keys, return_inverse=True)  # one lookup per distinct key
+        m = np.array([st[int(k)][0] for k in uniq])[inv]
+        s = np.array([st[int(k)][1] for k in uniq])[inv]
         valid = np.isfinite(s) & (s > 0)
         z = np.where(valid, np.abs(x - m) / np.where(valid, s, 1.0), 0.0)
         keep = z >= 2.5
@@ -566,16 +585,29 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
     (groupby(key).map_groups over ts-sorted events — the engine's
     streaming-window idiom)."""
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values(kind="mergesort")
-        gaps = ts.diff().dt.total_seconds().fillna(0.0)
-        n = 1 + int((gaps > gap_minutes * 60).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(u % n_buckets))
+
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        gaps = df.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        new_session = (gaps > gap_minutes * 60).astype(int)
+        out = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "brk": new_session.to_numpy()})
+            .groupby("user_id", sort=False)["brk"].sum().add(1).rename("n_sessions")
+            .reset_index()
+        )
+        return out
 
     return (
         _rp(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+        .select_columns(["user_id", "n_sessions"])
     )
 
 
@@ -686,22 +718,38 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     import ray
 
     from sievedata.functions.dedup import (
-        candidate_pairs_from_band,
         exact_jaccard,
         lsh_band_rows,
         minhash_signature_batch,
     )
 
+    n_buckets = 128
+
     def sig_rows(t: pa.Table) -> pa.Table:
         ids = [str(x) for x in t["doc_id"].to_pylist()]
         sigs = minhash_signature_batch(t["text"].to_pylist())
-        return lsh_band_rows(ids, sigs)
+        rows = lsh_band_rows(ids, sigs)
+        bucket = (rows["band_hash"].to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+        return rows.append_column("bucket", pa.array(bucket))
+
+    def pairs_bucket(df: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
+        """Candidate pairs from all multi-doc (band_id, band_hash) groups in
+        one bucket — vectorized group filter, pair loop only on survivors."""
+        sizes = df.groupby(["band_id", "band_hash"], sort=False)["doc_id"].transform("size")
+        multi = df[sizes >= 2]
+        rows = []
+        for _, g in multi.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(g["doc_id"].unique())[:cap]
+            rows.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+        if not rows:
+            return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str)})
+        return pd.DataFrame(rows, columns=["a", "b"])
 
     pairs = (
         _rp(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(candidate_pairs_from_band, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
         .to_pandas()
     )
     pairs = pairs.drop_duplicates().reset_index(drop=True)
@@ -709,10 +757,18 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
         return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str),
                              "jaccard": pd.Series(dtype=float)})
 
-    needed = sorted(set(pairs["a"]) | set(pairs["b"]))
+    needed = set(pairs["a"]) | set(pairs["b"])
+    needed_ref = ray.put(needed)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        wanted = ray.get(needed_ref)
+        ids = [str(x) for x in t["doc_id"].to_pylist()]
+        mask = pa.array([i in wanted for i in ids])
+        return t.filter(mask)
+
     texts = (
         _rp(sf_dir, "documents", ["doc_id", "text"])
-        .filter(lambda r: str(r["doc_id"]) in set(needed))
+        .map_batches(keep_needed, batch_format="pyarrow")
         .to_pandas()
     )
     lookup = dict(zip(texts["doc_id"].astype(str), texts["text"]))
