@@ -717,11 +717,7 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     candidate docs only)."""
     import ray
 
-    from sievedata.functions.dedup import (
-        exact_jaccard,
-        lsh_band_rows,
-        minhash_signature_batch,
-    )
+    from sievedata.functions.dedup import lsh_band_rows, minhash_signature_batch
 
     n_buckets = 128
 
@@ -732,9 +728,10 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
         bucket = (rows["band_hash"].to_numpy() % np.uint64(n_buckets)).astype(np.int64)
         return rows.append_column("bucket", pa.array(bucket))
 
-    def pairs_bucket(df: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
+    def pairs_bucket(df: pd.DataFrame, cap: int = 50) -> pd.DataFrame:
         """Candidate pairs from all multi-doc (band_id, band_hash) groups in
-        one bucket — vectorized group filter, pair loop only on survivors."""
+        one bucket — vectorized group filter; per-group doc cap bounds the
+        O(n²) fan-out like the reference's BR-004 candidate cap."""
         sizes = df.groupby(["band_id", "band_hash"], sort=False)["doc_id"].transform("size")
         multi = df[sizes >= 2]
         rows = []
@@ -760,20 +757,36 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     needed = set(pairs["a"]) | set(pairs["b"])
     needed_ref = ray.put(needed)
 
-    def keep_needed(t: pa.Table) -> pa.Table:
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        """Sorted shingle-hash array per candidate doc (computed ONCE per
+        doc, distributed; pair verification then intersects sorted arrays)."""
+        from sievedata.functions.dedup import shingle_hashes
+
         wanted = ray.get(needed_ref)
         ids = [str(x) for x in t["doc_id"].to_pylist()]
-        mask = pa.array([i in wanted for i in ids])
-        return t.filter(mask)
+        mask = [i in wanted for i in ids]
+        kept_ids = [i for i, m in zip(ids, mask) if m]
+        kept_txt = [x for x, m in zip(t["text"].to_pylist(), mask) if m]
+        arrs = [np.sort(shingle_hashes(x or "")).astype(np.int64).tolist() for x in kept_txt]
+        return pa.table(
+            {"doc_id": pa.array(kept_ids, pa.string()),
+             "shingles": pa.array(arrs, pa.list_(pa.int64()))}
+        )
 
-    texts = (
+    sh_df = (
         _rp(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(keep_needed, batch_format="pyarrow")
+        .map_batches(shingle_sets, batch_format="pyarrow")
         .to_pandas()
     )
-    lookup = dict(zip(texts["doc_id"].astype(str), texts["text"]))
-    jac = [exact_jaccard(lookup[a], lookup[b]) for a, b in zip(pairs["a"], pairs["b"])]
-    pairs["jaccard"] = np.round(jac, 4)
+    lookup = {d: np.asarray(s, dtype=np.int64) for d, s in zip(sh_df["doc_id"], sh_df["shingles"])}
+
+    def jac(a: str, b: str) -> float:
+        sa, sb = lookup[a], lookup[b]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        return inter / union if union else 1.0
+
+    pairs["jaccard"] = np.round([jac(a, b) for a, b in zip(pairs["a"], pairs["b"])], 4)
     out = pairs[pairs["jaccard"] >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
     return out
 
