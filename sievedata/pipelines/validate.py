@@ -184,33 +184,55 @@ def _per_doc_violations(batch: pa.Table) -> pa.Table:
     )
 
 
-_EMPTY_BLOCKS = pa.table(
-    {
-        "partition_key": pa.array([], pa.string()),
-        "family": pa.array([], pa.string()),
-        "block_key": pa.array([], pa.string()),
-        "doc_id": pa.array([], pa.string()),
-        "total": pa.array([], pa.float64()),
-        "invoice_date": pa.array([], pa.date32()),
-        "bucket": pa.array([], pa.int64()),
-    }
-)
+_BLOCK_FIELDS = {
+    "partition_key": pa.string(),
+    "family": pa.string(),
+    "block_key": pa.string(),
+    "doc_id": pa.string(),
+    "total": pa.float64(),
+    "invoice_date": pa.date32(),
+    "bucket": pa.int64(),
+    "reason_code": pa.string(),
+    "detail": pa.string(),
+}
+_EMPTY_BLOCKS = pa.table({k: pa.array([], t) for k, t in _BLOCK_FIELDS.items()})
 
 
 def _make_explode_blocks(n_buckets: int):
     def explode(batch: pa.Table) -> pa.Table:
         """Emit (partition_key, family, block_key, bucket) rows for the dup
-        families — the reference's blocking keys (app/retrieval.py:22-29)."""
+        families — the reference's blocking keys (app/retrieval.py:22-29) —
+        PLUS pass-through per-doc violation rows (family="viol", computed
+        from stage-1 flags), so one read + one shuffle serves both paths."""
         from sievedata.sketches.hashing import hash64
 
+        outs = []
+        viol = _per_doc_violations(batch)
+        if viol.num_rows:
+            vb = (hash64(viol.column("doc_id").combine_chunks(), seed=31)
+                  % np.uint64(n_buckets)).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "partition_key": viol.column("partition_key"),
+                        "family": pa.array(["viol"] * viol.num_rows, pa.string()),
+                        "block_key": pa.array([""] * viol.num_rows, pa.string()),
+                        "doc_id": viol.column("doc_id"),
+                        "total": pa.nulls(viol.num_rows, pa.float64()),
+                        "invoice_date": pa.nulls(viol.num_rows, pa.date32()),
+                        "bucket": pa.array(vb),
+                        "reason_code": viol.column("reason_code"),
+                        "detail": viol.column("detail"),
+                    }
+                )
+            )
         mask = pc.and_(
             pc.equal(batch.column("missing_fields"), ""),
             pc.invert(batch.column("is_credit")),
         )
         elig = batch.filter(mask)
         if elig.num_rows == 0:
-            return _EMPTY_BLOCKS
-        outs = []
+            return pa.concat_tables(outs) if outs else _EMPTY_BLOCKS
         for family, key_col in (("invnum", "invnum_norm"), ("pdf", "pdf_hash"), ("po", "po_number")):
             keys = elig.column(key_col)
             sub = elig.filter(pc.invert(pc.is_null(keys)))
@@ -233,6 +255,8 @@ def _make_explode_blocks(n_buckets: int):
                         "total": sub.column("total"),
                         "invoice_date": sub.column("invoice_date"),
                         "bucket": pa.array(bucket),
+                        "reason_code": pa.nulls(sub.num_rows, pa.string()),
+                        "detail": pa.nulls(sub.num_rows, pa.string()),
                     }
                 )
             )
@@ -259,6 +283,16 @@ def _make_bucket_checker(cfg: ValidateConfig):
         """
         if not len(df):
             return _EMPTY_VIOLATIONS_DF
+        passthrough = df[df["family"] == "viol"]
+        df = df[df["family"] != "viol"]
+        pre = []
+        if len(passthrough):
+            pre.append(
+                passthrough[["partition_key", "doc_id", "reason_code", "detail"]]
+                .reset_index(drop=True)
+            )
+        if not len(df):
+            return pd.concat(pre, ignore_index=True) if pre else _EMPTY_VIOLATIONS_DF
         df = df.sort_values(
             ["partition_key", "family", "block_key", "doc_id"], kind="mergesort"
         ).reset_index(drop=True)
@@ -267,7 +301,7 @@ def _make_bucket_checker(cfg: ValidateConfig):
         size = grp["doc_id"].transform("size")
         dup = (size >= 2) & (df["doc_id"] != first)
 
-        frames = []
+        frames = pre
         for family, code, label in (
             ("invnum", REASON_EXACT_INVNUM, "invnum_norm"),
             ("pdf", REASON_PDF_NEAR_DUP, "pdf_hash"),
@@ -425,9 +459,20 @@ def validate_documents(
     Outputs under ``run_dir``: checked/ (narrow per-doc intermediate),
     violations/ (parquet), verdicts.parquet, manifest.json.
     """
+    import time
+
     import ray
 
     cfg = cfg or ValidateConfig()
+    timings: dict[str, float] = {}
+    t_last = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal t_last
+        now = time.perf_counter()
+        timings[name] = round(now - t_last, 3)
+        t_last = now
+
     os.makedirs(run_dir, exist_ok=True)
     checked_dir = os.path.join(run_dir, "checked")
     violations_dir = os.path.join(run_dir, "violations")
@@ -453,7 +498,9 @@ def validate_documents(
     with open(media_bloom_path, "rb") as f:
         bloom_bytes = f.read()
 
-    # Stage 1: parse + per-doc checks → narrow intermediate
+    # Stage 1: parse + per-doc checks → narrow intermediate.  Actor-pool size
+    # scales with the cluster so this stage never caps below the CPU count.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     if not (resume and stage_done(checked_dir)):
         profiles_ref = ray.put(profile_stats)
         bloom_ref = ray.put(bloom_bytes)
@@ -461,7 +508,7 @@ def validate_documents(
         checked = ds.map_batches(parse_documents_batch, batch_format="pyarrow").map_batches(
             PerDocChecks,
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=(1, max(n_cpus - 2, 2)),
             fn_constructor_kwargs={
                 "profiles_ref": profiles_ref,
                 "bloom_ref": bloom_ref,
@@ -470,39 +517,50 @@ def validate_documents(
         )
         with commit_dir(checked_dir) as tmp:
             checked.write_parquet(tmp)
+    _mark("stage1_checked")
 
-    # Stage 2+3 inputs: column-pruned reads of the narrow intermediate
-    if not (resume and stage_done(violations_dir)):
-        per_doc = read_documents(checked_dir).map_batches(
-            _per_doc_violations, batch_format="pyarrow"
-        )
+    # Stages 2 and 3 both read the narrow intermediate (column-pruned) and
+    # are independent → run them CONCURRENTLY from driver threads so their
+    # pipeline latencies overlap and the streaming executor interleaves work.
+    import concurrent.futures
+
+    def _stage2_violations() -> None:
+        if resume and stage_done(violations_dir):
+            return
         blocks = (
             read_documents(
                 checked_dir,
                 columns=[
                     "doc_id", "partition_key", "invnum_norm", "pdf_hash",
-                    "po_number", "total", "invoice_date", "missing_fields", "is_credit",
+                    "po_number", "total", "invoice_date", "missing_fields",
+                    "is_credit", "bank_change", "amount_z", "is_outlier",
                 ],
             )
             .map_batches(_make_explode_blocks(cfg.n_dup_buckets), batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(_make_bucket_checker(cfg), batch_format="pandas")
         )
-        all_violations = per_doc.union(blocks)
         with commit_dir(violations_dir) as tmp:
-            all_violations.write_parquet(tmp)
+            blocks.write_parquet(tmp)
 
-    # Stage 3: per-partition drift + uniqueness verdicts
-    part_verdicts = (
-        read_documents(
-            checked_dir,
-            columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible"],
+    def _stage3_verdicts() -> pd.DataFrame:
+        return (
+            read_documents(
+                checked_dir,
+                columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible"],
+            )
+            .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
+            .groupby("partition_key")
+            .map_groups(_make_partition_finalizer(profile_map, cfg), batch_format="pandas")
+            .to_pandas()
         )
-        .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
-        .groupby("partition_key")
-        .map_groups(_make_partition_finalizer(profile_map, cfg), batch_format="pandas")
-        .to_pandas()
-    )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        f2 = pool.submit(_stage2_violations)
+        f3 = pool.submit(_stage3_verdicts)
+        f2.result()
+        part_verdicts = f3.result()
+    _mark("stage23_violations_partials")
 
     # Stage 4: assemble verdicts per (partition, check) from violation counts
     vio = pq.read_table(violations_dir).to_pandas()
@@ -516,25 +574,25 @@ def validate_documents(
         REASON_UNIT_PRICE_OUTLIER: CHECK_RANGE,
     }
     vio["check_name"] = vio["reason_code"].map(check_of_reason)
-    counts = (
-        vio.groupby(["partition_key", "check_name"]).size().rename("n_violations").reset_index()
+    checks = [CHECK_SCHEMA, CHECK_DUPLICATE, CHECK_REFERENTIAL, CHECK_RANGE]
+    pivot = (
+        vio.groupby(["partition_key", "check_name"]).size().unstack(fill_value=0)
+        if len(vio)
+        else pd.DataFrame()
     )
-    rows = []
-    for pk_key, nd in sorted(n_docs_by_pk.items()):
-        for check in (CHECK_SCHEMA, CHECK_DUPLICATE, CHECK_REFERENTIAL, CHECK_RANGE):
-            nv = counts.loc[
-                (counts["partition_key"] == pk_key) & (counts["check_name"] == check),
-                "n_violations",
-            ]
-            nv = int(nv.iloc[0]) if len(nv) else 0
-            rows.append((pk_key, check, nv == 0, int(nd), nv, float(nv), ""))
+    pivot = pivot.reindex(
+        index=sorted(n_docs_by_pk), columns=checks, fill_value=0
+    ).fillna(0).astype(int)
+    count_rows = pivot.stack().rename("n_violations").reset_index()
+    count_rows.columns = ["partition_key", "check_name", "n_violations"]
+    count_rows["n_docs"] = count_rows["partition_key"].map(n_docs_by_pk).astype(int)
+    count_rows["passed"] = count_rows["n_violations"] == 0
+    count_rows["metric"] = count_rows["n_violations"].astype(float)
+    count_rows["detail"] = ""
     verdicts = pd.concat(
         [
-            pd.DataFrame(
-                rows,
-                columns=["partition_key", "check_name", "passed", "n_docs",
-                         "n_violations", "metric", "detail"],
-            ),
+            count_rows[["partition_key", "check_name", "passed", "n_docs",
+                        "n_violations", "metric", "detail"]],
             part_verdicts,
         ],
         ignore_index=True,
@@ -571,8 +629,10 @@ def validate_documents(
     }
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    _mark("stage4_assemble")
 
     return {
+        "timings": timings,
         "checked": checked_dir,
         "violations": violations_dir,
         "verdicts": verdicts_path,

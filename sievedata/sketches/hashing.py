@@ -8,8 +8,16 @@ is deterministic forever.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+
+# Each Ray worker importing polars would otherwise spawn a full rayon
+# threadpool (one per worker × num_cores threads = massive oversubscription
+# when 30 workers hash small per-batch arrays).  Our hashing calls are tiny
+# and per-batch — single-threaded is optimal inside a worker.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 try:
     import polars as pl
