@@ -134,8 +134,26 @@ def run_bench() -> dict:
     return out
 
 
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "500000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "5000000"))
 SCALING_VENDORS = 1000
+
+
+def _warm_workers() -> None:
+    """Untimed warm-up: push one trivial task through every worker so the
+    per-process import of the engine stack happens before the clock starts —
+    on a real long-lived cluster workers are warm; a fresh-process benchmark
+    would otherwise measure import storms, not the engine."""
+    import ray
+    import ray.data as rd
+
+    def warm(batch):
+        import sievedata.pipelines.validate  # noqa: F401
+        import sievedata.stages.parse  # noqa: F401
+
+        return batch
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+    rd.range(n * 4, override_num_blocks=n * 4).map_batches(warm).count()
 
 
 def run_validate_only() -> dict:
@@ -159,6 +177,7 @@ def run_validate_only() -> dict:
         for r, _, fs in os.walk(os.path.join(cache, "documents"))
         for f in fs if f.endswith(".parquet")
     )
+    _warm_workers()
     t0 = time.perf_counter()
     validate_documents(
         os.path.join(cache, "documents"),
@@ -188,7 +207,10 @@ def _prepare_scaling_fixture() -> None:
     from sievedata.fixtures import generate_fixture_ray
     from sievedata.pipelines.profile import build_profiles
 
-    fix = generate_fixture_ray(cache, n_docs=SCALING_DOCS, n_vendors=SCALING_VENDORS)
+    fix = generate_fixture_ray(
+        cache, n_docs=SCALING_DOCS, n_vendors=SCALING_VENDORS,
+        n_shards=max(64, min(512, SCALING_DOCS // 20000)),
+    )
     build_profiles(fix["baseline"], fix["media_catalog"], os.path.join(cache, "profiles"))
     # warm page cache
     for root, _, files in os.walk(os.path.join(cache, "documents")):

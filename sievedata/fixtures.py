@@ -101,10 +101,18 @@ def _invoice_number(vendor_idx: int, seq: int, style: int) -> str:
     return f"INV-{vendor_idx:04d}-0{seq:06d}"  # style 4: extra zero padding
 
 
-def _base_invnum_style(rng: np.random.Generator) -> int:
-    if rng.random() < 0.10:
-        return int(rng.integers(1, 5))
-    return 0
+def _row_draws(rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All of a row's randomness in three bulk draws (fixed layout — row
+    fields index into these arrays, so any field is recomputable from just
+    the row key)."""
+    r = rng.random(16)
+    z = rng.integers(0, 2**31, size=32)
+    u = rng.uniform(2.0, 200.0, size=8)
+    return r, z, u
+
+
+def _style_from_draws(r: np.ndarray, z: np.ndarray) -> int:
+    return int(1 + z[0] % 4) if r[0] < 0.10 else 0
 
 
 def make_doc(
@@ -121,9 +129,8 @@ def make_doc(
     doc_id = f"{vendor_id}:{seq:06d}"
     vclass = violation_class(seq) if table == "current" else None
 
-    # invnum style is the FIRST draw so other rows can recompute it cheaply
-    # (credit notes copy the previous seq's invoice number)
-    style = _base_invnum_style(rng)
+    r, z, u = _row_draws(rng)
+    style = _style_from_draws(r, z)
 
     mu = vendor_mu(vendor_idx)
     if table == "current" and is_drift_vendor(vendor_idx):
@@ -134,37 +141,36 @@ def make_doc(
         target_total = float(np.round(mean_t + 8.0 * std_t, 2))
 
     # line items: rescale unit prices so Σ amount == target_total (±rounding)
-    k = int(rng.integers(1, 9))
-    descs = [VOCAB[int(rng.integers(0, 64))] for _ in range(k)]
-    qtys = [int(rng.integers(1, 21)) for _ in range(k)]
-    ups = np.array([round(float(rng.uniform(2.0, 200.0)), 2) for _ in range(k)])
+    k = int(1 + z[1] % 8)
+    descs = [VOCAB[int(z[2 + i] % 64)] for i in range(k)]
+    qtys = [int(1 + z[10 + i] % 20) for i in range(k)]
+    ups = np.round(u[:k], 2)
     raw = np.array(qtys) * ups
     scale = target_total / raw.sum() if raw.sum() else 1.0
     ups = np.round(ups * scale, 4)
     amounts = np.round(np.array(qtys) * ups, 2)
     total = float(np.round(amounts.sum(), 2))
     skus = [
-        f"SKU-{int(rng.integers(0, 512)):04d}" if rng.random() < 0.7 else ""
-        for _ in range(k)
+        f"SKU-{int(z[22 + i] % 512):04d}" if r[1 + i] < 0.7 else "" for i in range(k)
     ]
     lines = [
-        {"desc": d, "qty": q, "unit_price": float(u), "amount": float(a), "sku": s}
-        for d, q, u, a, s in zip(descs, qtys, ups, amounts, skus)
+        {"desc": d, "qty": q, "unit_price": float(up), "amount": float(a), "sku": s}
+        for d, q, up, a, s in zip(descs, qtys, ups, amounts, skus)
     ]
 
     invoice_number = _invoice_number(vendor_idx, seq, style)
-    inv_date = BASE_DATE + timedelta(days=int(rng.integers(0, 365)))
-    currency = CURRENCIES[int(rng.integers(0, 3))]
+    inv_date = BASE_DATE + timedelta(days=int(z[18] % 365))
+    currency = CURRENCIES[int(z[19] % 3)]
     tax_total = round(total * 0.19, 2)
-    has_po = rng.random() < 0.70 or vclass == "near"
-    po_number = f"PO-{vendor_idx:04d}-{int(rng.integers(0, 1000))}" if has_po else None
+    has_po = r[9] < 0.70 or vclass == "near"
+    po_number = f"PO-{vendor_idx:04d}-{int(z[20] % 1000)}" if has_po else None
     remit_account = (
         f"DE{(89 + vendor_idx) % 100:02d}3704004405{vendor_idx:06d}00"
-        if rng.random() < 0.90
+        if r[10] < 0.90
         else None
     )
-    remit_name = f"Vendor {vendor_idx:04d} GmbH" if rng.random() < 0.90 else None
-    terms = TERMS[int(rng.integers(0, 3))] if rng.random() < 0.60 else None
+    remit_name = f"Vendor {vendor_idx:04d} GmbH" if r[11] < 0.90 else None
+    terms = TERMS[int(z[21] % 3)] if r[12] < 0.60 else None
 
     pdf_hash = _pdf_hash(doc_id)
     media_ref = f"media://{pdf_hash}"
@@ -201,8 +207,10 @@ def make_doc(
             line["amount"] = -line["amount"]
         if seq > 0:
             prev_rng = _rng(seed, vendor_idx, seq - 1, tag)
-            prev_style = _base_invnum_style(prev_rng)  # style is the first draw
-            doc["invoice_number"] = _invoice_number(vendor_idx, seq - 1, prev_style)
+            pr, pz, _pu = _row_draws(prev_rng)
+            doc["invoice_number"] = _invoice_number(
+                vendor_idx, seq - 1, _style_from_draws(pr, pz)
+            )
 
     twin: dict | None = None
     if vclass == "dup":

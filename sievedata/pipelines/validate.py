@@ -151,6 +151,29 @@ class PerDocChecks:
         return out
 
 
+_PDC_CACHE: dict = {}
+
+
+def _make_per_doc_checks_fn(profiles_ref, bloom_ref, z_threshold: float):
+    """Stage-1 per-doc checks as a plain task function with per-worker state
+    caching: ray.get + Bloom decode happen once per worker process (module
+    global keyed by the object refs), so tasks reuse Ray's warm worker pool
+    instead of paying actor-pool process spin-up.  Same semantics as the
+    PerDocChecks actor class (used where long-lived heavy state warrants a
+    real pool)."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        key = (profiles_ref.hex(), bloom_ref.hex(), z_threshold)
+        state = _PDC_CACHE.get(key)
+        if state is None:
+            state = PerDocChecks(profiles_ref, bloom_ref, z_threshold)
+            _PDC_CACHE.clear()  # one live profile set per worker
+            _PDC_CACHE[key] = state
+        return state(batch)
+
+    return check
+
+
 def _per_doc_violations(batch: pa.Table) -> pa.Table:
     """Vectorized per-doc violation rows from stage-1 flags."""
     pk = batch.column("partition_key").to_numpy(zero_copy_only=False)
@@ -506,14 +529,8 @@ def validate_documents(
         bloom_ref = ray.put(bloom_bytes)
         ds = read_documents(documents_path)
         checked = ds.map_batches(parse_documents_batch, batch_format="pyarrow").map_batches(
-            PerDocChecks,
+            _make_per_doc_checks_fn(profiles_ref, bloom_ref, cfg.z_threshold),
             batch_format="pyarrow",
-            concurrency=(1, max(n_cpus - 2, 2)),
-            fn_constructor_kwargs={
-                "profiles_ref": profiles_ref,
-                "bloom_ref": bloom_ref,
-                "z_threshold": cfg.z_threshold,
-            },
         )
         with commit_dir(checked_dir) as tmp:
             checked.write_parquet(tmp)

@@ -12,6 +12,27 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# Ray's path resolution lazily does `from fsspec.implementations.http import
+# HTTPFileSystem` on every read.  aiohttp is absent here, so that import
+# normally fails with ModuleNotFoundError (which Ray catches) — but when two
+# driver threads race the first import, one can observe the partially-removed
+# module and get a bare ImportError that Ray does NOT catch.  Register a stub
+# module once, deterministically: the class is never instantiated, only used
+# in an isinstance() check that correctly returns False.
+try:  # pragma: no cover
+    import fsspec.implementations.http  # noqa: F401
+except Exception:  # pragma: no cover
+    import sys
+    import types
+
+    _http_stub = types.ModuleType("fsspec.implementations.http")
+
+    class _StubHTTPFileSystem:
+        pass
+
+    _http_stub.HTTPFileSystem = _StubHTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = _http_stub
+
 try:  # optional Lance adapter (absent in this sandbox)
     import lance  # type: ignore
 
