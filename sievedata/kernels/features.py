@@ -72,11 +72,17 @@ def line_assign_features(
     alpha: float = 0.7,
     beta: float = 0.2,
     gamma: float = 0.1,
+    dist_fn=None,
 ) -> Dict[str, float]:
     """Optimal line-item matching features via Hungarian assignment on
     0.7·desc_dist + 0.2·capped Δunit_price + 0.1·capped Δqty.
     Ref: app/features.py:47-101, including the empty-side fallback.
+
+    ``dist_fn(a, b)`` overrides the desc distance (callers may pass a
+    memoized Jaro-Winkler — descs repeat heavily across pairs).
     """
+    if dist_fn is None:
+        dist_fn = _string_distance
     if not a_lines or not b_lines:
         total_amount = sum((_to_float(x.get("amount")) for x in a_lines), 0.0)
         unmatched = float(total_amount)
@@ -97,7 +103,7 @@ def line_assign_features(
         up_a = _to_float(al.get("unit_price"))
         qty_a = _to_float(al.get("qty"))
         for j, bl in enumerate(b_lines):
-            desc_cost = _string_distance(desc_a, bl.get("desc_norm", ""))
+            desc_cost = dist_fn(desc_a, bl.get("desc_norm", ""))
             up_b = _to_float(bl.get("unit_price"))
             qty_b = _to_float(bl.get("qty"))
             up_term = min(abs(up_a - up_b) / max(abs(up_a), 1.0), 5.0)

@@ -1,0 +1,469 @@
+"""Batch duplicate-scoring pipeline — the reference's ``POST /scoreInvoice``
+flow (/root/reference/app/main.py:273-349) re-expressed as a Ray Data batch
+job over every document (its backfill path, scripts/backfill_score.py:16-38,
+done set-at-a-time instead of one invoice per request):
+
+1. score-parse: documents → scoring rows (lines ride along as list<struct> —
+   no line-fetch join, SURVEY.md J2)
+2. candidate blocking (app/retrieval.py:12-48): each doc explodes into its 4
+   block families — amount+month, po_number, invnum_norm,
+   remit_account_hash — hash-bucketed on (partition, family, key)
+3. per-bucket pair scoring (actor pool; jaro/dice caches warm across
+   buckets): features F1+F2+F3 via the kernel library, dup probability via
+   the fallback logistic model (app/duplicate_model.py)
+4. per-doc reduce keyed by doc_id bucket: candidate dedup (family-priority
+   order, architecture.md:190-195), per-doc cap, top-3 (main.py:305)
+5. finalize (union-cogroup of all docs with their scores, one more bucket
+   shuffle): anomaly vs broadcast profiles + Bloom bank-change
+   (app/anomaly.py:27-94), fuse_scores, rules on the top-1 context, ordered
+   reason-code dedup (main.py:314-327), decide → decisions parquet
+
+Missing-required-field docs are rejected at the edge (DCR-003, the 400
+response); credit notes are excluded from dup matching (EC-001) but still
+anomaly-scored.  Every shuffle is hash-bucketed and vectorized per bucket —
+no whole-vendor group ever materializes.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sievedata.kernels.features import header_features, line_assign_features
+from sievedata.kernels.model import FEATURE_ORDER, predict_dup_prob_matrix
+from sievedata.kernels.similarity import dice_3gram
+from sievedata.pipelines.checkpoint import commit_dir, stage_done
+from sievedata.sources.storage import read_documents
+from sievedata.stages.score_parse import score_parse_batch
+
+FAMILY_PRIORITY = {"invnum": 0, "po": 1, "amount": 2, "acct": 3}
+_FEAT_COLS = [f"f_{n}" for n in FEATURE_ORDER]
+
+
+@dataclass
+class ScoreConfig:
+    candidate_cap: int = 50          # per-doc cap (reference default 200, app/retrieval.py:12)
+    block_group_cap: int = 200       # max docs considered per block group
+    review_threshold: float = 50.0   # app/config.py:33-34 defaults
+    hold_threshold: float = 80.0
+    n_buckets: int = 128
+
+
+def _explode_candidates(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Each eligible doc → one row per present block family (+bucket)."""
+    from sievedata.sketches.hashing import hash64
+
+    mask = pc.and_(
+        pc.equal(batch.column("missing_fields"), ""),
+        pc.invert(batch.column("is_credit")),
+    )
+    elig = batch.filter(mask)
+    outs = []
+    for family, key_col in (
+        ("invnum", "invnum_norm"),
+        ("po", "po_number"),
+        ("amount", "amount_month_key"),
+        ("acct", "remit_account_hash"),
+    ):
+        keys = elig.column(key_col)
+        sub = elig.filter(pc.invert(pc.is_null(keys)))
+        if sub.num_rows == 0:
+            continue
+        combined = pc.binary_join_element_wise(
+            sub.column("partition_key").cast(pa.string()),
+            pa.scalar(family),
+            sub.column(key_col).cast(pa.string()),
+            "\x1f",
+        )
+        bucket = (hash64(combined.combine_chunks(), seed=53) % np.uint64(n_buckets)).astype(np.int64)
+        t = sub.append_column("family", pa.array([family] * sub.num_rows, pa.string()))
+        t = t.append_column("block_key", sub.column(key_col).cast(pa.string()))
+        t = t.append_column("bucket", pa.array(bucket))
+        outs.append(t)
+    if not outs:
+        empty = batch.slice(0, 0)
+        empty = empty.append_column("family", pa.array([], pa.string()))
+        empty = empty.append_column("block_key", pa.array([], pa.string()))
+        return empty.append_column("bucket", pa.array([], pa.int64()))
+    return pa.concat_tables(outs, promote_options="default")
+
+
+class PairScorer:
+    """Per-bucket candidate-pair featurizer + scorer.
+
+    ``per_doc_window``: inside one block group each doc only pairs with its
+    nearest neighbors in doc_id order (deterministic), bounding O(n²) on the
+    degenerate big groups (the whole-vendor remit-account family) the way
+    the reference's LIMIT 200 bounds per-request fan-out."""
+
+    def __init__(self, block_group_cap: int = 200, per_doc_window: int = 25):
+        self.block_group_cap = block_group_cap
+        self.per_doc_window = per_doc_window
+        self._dice_cache: dict[tuple[str, str], float] = {}
+        self._desc_cache: dict[tuple[str, str], float] = {}
+
+    def _desc_dist(self, a: str, b: str) -> float:
+        from sievedata.kernels.similarity import jaro_winkler
+
+        key = (a, b) if a <= b else (b, a)
+        v = self._desc_cache.get(key)
+        if v is None:
+            v = 1.0 - jaro_winkler(a, b)
+            if len(self._desc_cache) < 500_000:
+                self._desc_cache[key] = v
+        return v
+
+    def _text_cosine(self, a_text: str, b_text: str) -> float:
+        key = (a_text, b_text) if a_text <= b_text else (b_text, a_text)
+        tc = self._dice_cache.get(key)
+        if tc is None:
+            tc = dice_3gram(a_text, b_text)
+            if len(self._dice_cache) < 200_000:
+                self._dice_cache[key] = tc
+        return tc
+
+    @staticmethod
+    def _prep_doc(d: dict) -> dict:
+        raw_lines = d["lines"]
+        if raw_lines is None:
+            raw_lines = []
+        lines = [dict(l) for l in raw_lines]
+        for l in lines:
+            l["desc_norm"] = l.get("desc_norm") or ""
+        d["lines"] = lines
+        d["line_text"] = " ".join(l["desc_norm"] for l in lines)
+        d["invoice_number_norm"] = d["invnum_norm"] or ""
+        dt = d["invoice_date"]
+        if isinstance(dt, pd.Timestamp):
+            d["invoice_date"] = dt.date()
+        elif isinstance(dt, np.datetime64):
+            d["invoice_date"] = pd.Timestamp(dt).date()
+        elif not isinstance(dt, datetime.date):
+            d["invoice_date"] = datetime.date.fromisoformat(str(dt))
+        return d
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_rows: list[tuple] = []
+        if not len(df):
+            return _EMPTY_PAIRS
+        for (_pk, family, _bk), g in df.groupby(
+            ["partition_key", "family", "block_key"], sort=False
+        ):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort").head(self.block_group_cap)
+            docs = [self._prep_doc(row._asdict()) for row in g.itertuples(index=False)]
+            prio = FAMILY_PRIORITY[family]
+            w = self.per_doc_window
+            for i, a in enumerate(docs):
+                lo = max(0, i - w)
+                hi = min(len(docs), i + w + 1)
+                for j in range(lo, hi):
+                    if i == j:
+                        continue
+                    b = docs[j]
+                    feats = header_features(a, b)
+                    feats.update(
+                        line_assign_features(a["lines"], b["lines"], dist_fn=self._desc_dist)
+                    )
+                    feats["text_cosine"] = self._text_cosine(a["line_text"], b["line_text"])
+                    pdf_equal = float(
+                        bool(a["pdf_hash"]) and a["pdf_hash"] == b["pdf_hash"]
+                    )
+                    vec = [float(feats.get(name, 0.0)) for name in FEATURE_ORDER]
+                    out_rows.append(
+                        (a["doc_id"], b["doc_id"], a["partition_key"], prio, pdf_equal, *vec)
+                    )
+        if not out_rows:
+            return _EMPTY_PAIRS
+        cols = ["doc_id", "cand_id", "partition_key", "family_priority",
+                "pdf_equal"] + _FEAT_COLS
+        return pd.DataFrame(out_rows, columns=cols)
+
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {
+        **{c: pd.Series(dtype=s) for c, s in (
+            ("doc_id", "str"), ("cand_id", "str"), ("partition_key", "str"),
+            ("family_priority", "int64"), ("pdf_equal", "float64"),
+        )},
+        **{c: pd.Series(dtype="float64") for c in _FEAT_COLS},
+    }
+)
+
+
+def _make_doc_reducer(cfg: ScoreConfig):
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-doc: dedup candidates (priority order), cap, model scores,
+        top-3 context."""
+        if not len(df):
+            return _EMPTY_DOC_SCORES
+        df = df.sort_values(
+            ["doc_id", "family_priority", "cand_id"], kind="mergesort"
+        ).drop_duplicates(["doc_id", "cand_id"], keep="first")
+        df = df.groupby("doc_id", sort=False).head(cfg.candidate_cap).reset_index(drop=True)
+        df["dup_prob"] = predict_dup_prob_matrix(df[_FEAT_COLS].to_numpy(dtype=float))
+
+        rows = []
+        for doc_id, g in df.groupby("doc_id", sort=False):
+            g = g.sort_values(["dup_prob", "cand_id"], ascending=[False, True],
+                              kind="mergesort")
+            top = g.head(3)
+            rows.append(
+                (doc_id, float(top["dup_prob"].iloc[0]),
+                 float(top["f_text_cosine"].max()),
+                 ";".join(top["cand_id"]),
+                 float(top["f_invnum_edit"].iloc[0]),
+                 float(top["f_same_po"].iloc[0]),
+                 float(top["f_days_diff"].iloc[0]),
+                 float(top["f_abs_total_diff_pct"].iloc[0]),
+                 float(top["pdf_equal"].iloc[0]),
+                 int(len(g)))
+            )
+        return pd.DataFrame(rows, columns=_DOC_SCORE_COLS)
+
+    return reduce_bucket
+
+
+_DOC_SCORE_COLS = ["doc_id", "dup_prob", "text_dup_prob", "top_matches",
+                   "top_invnum_edit", "top_same_po", "top_days_diff",
+                   "top_total_diff_pct", "top_pdf_equal", "n_candidates"]
+_EMPTY_DOC_SCORES = pd.DataFrame(
+    {c: pd.Series(dtype=("str" if c in ("doc_id", "top_matches") else
+                         "int64" if c == "n_candidates" else "float64"))
+     for c in _DOC_SCORE_COLS}
+)
+
+
+class FinalizeDecisions:
+    """Cogroup finalize: merge doc rows with their pair-reduce scores inside
+    one bucket, then vectorized anomaly + fuse + rules + decide."""
+
+    def __init__(self, profiles_ref, bloom_ref, cfg_dict: dict):
+        import ray
+
+        from sievedata.sketches import BloomFilter
+
+        prof = ray.get(profiles_ref)
+        self.mean = {k: v[0] for k, v in prof.items()}
+        self.std = {k: v[1] for k, v in prof.items()}
+        self.count = {k: v[2] for k, v in prof.items()}
+        self.bloom = BloomFilter.from_bytes(ray.get(bloom_ref))
+        self.review_threshold = cfg_dict["review_threshold"]
+        self.hold_threshold = cfg_dict["hold_threshold"]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from sievedata.kernels.anomaly import anomaly_score_vec
+        from sievedata.kernels.decision import decide_vec, fuse_scores_vec
+
+        docs = df[df["side"] == "doc"]
+        scores = df[df["side"] == "score"]
+        if not len(docs):
+            return _EMPTY_DECISIONS
+        merged = docs[["doc_id", "partition_key", "total", "pdf_hash", "is_credit"]].merge(
+            scores[_DOC_SCORE_COLS], on="doc_id", how="left"
+        )
+        merged["dup_prob"] = merged["dup_prob"].fillna(0.0)
+        merged["text_dup_prob"] = merged["text_dup_prob"].fillna(0.0)
+        merged["n_candidates"] = merged["n_candidates"].fillna(0).astype(int)
+        merged["top_matches"] = merged["top_matches"].fillna("")
+
+        refs = ("media://" + merged["pdf_hash"].fillna("")).tolist()
+        bank_change = ~self.bloom.contains(refs)
+        mean = merged["partition_key"].map(self.mean).fillna(0.0).to_numpy()
+        std = merged["partition_key"].map(self.std).fillna(0.0).to_numpy()
+        cnt = merged["partition_key"].map(self.count).fillna(0).to_numpy()
+        has_baseline = merged["partition_key"].isin(self.mean).to_numpy()
+        anom_prob, _z, is_outlier = anomaly_score_vec(
+            merged["total"].to_numpy(), mean, std, cnt, bank_change,
+            vendor_hist_count=cnt, has_baseline=has_baseline,
+        )
+        # credit notes: excluded from the outlier flag (EC-001 guard, as in
+        # the validate pass)
+        is_credit = merged["is_credit"].fillna(False).to_numpy(dtype=bool)
+        is_outlier = is_outlier & ~is_credit
+
+        risk = fuse_scores_vec(
+            merged["dup_prob"].to_numpy(), anom_prob, bank_change,
+            merged["text_dup_prob"].to_numpy(),
+        )
+        decision = decide_vec(risk, self.review_threshold, self.hold_threshold)
+
+        has_top = merged["n_candidates"].to_numpy() > 0
+        exact_invnum = has_top & (merged["top_invnum_edit"].fillna(1.0).to_numpy() == 0.0)
+        same_po_near = (
+            has_top
+            & (merged["top_same_po"].fillna(0.0).to_numpy() == 1.0)
+            & (merged["top_total_diff_pct"].fillna(1.0).to_numpy() <= 0.005)
+            & (merged["top_days_diff"].fillna(9999.0).to_numpy() <= 30)
+        )
+        pdf_dup = has_top & (merged["top_pdf_equal"].fillna(0.0).to_numpy() == 1.0)
+
+        reasons = []
+        for i in range(len(merged)):
+            codes: list[str] = []
+            if exact_invnum[i]:
+                codes.append("EXACT_INVNUM")
+            if same_po_near[i]:
+                codes.append("SAME_PO_NEAR_TOTAL")
+            if pdf_dup[i]:
+                codes.append("PDF_NEAR_DUP")
+            if bank_change[i]:
+                codes.append("BANK_CHANGE")
+            if is_outlier[i]:
+                codes.append("UNIT_PRICE_OUTLIER")
+            reasons.append(",".join(dict.fromkeys(codes)))
+
+        return pd.DataFrame(
+            {
+                "doc_id": merged["doc_id"],
+                "partition_key": merged["partition_key"],
+                "risk_score": np.round(risk, 2),
+                "decision": decision.astype(str),
+                "reason_codes": reasons,
+                "dup_prob": merged["dup_prob"],
+                "anom_prob": anom_prob,
+                "n_candidates": merged["n_candidates"],
+                "top_matches": merged["top_matches"],
+            }
+        )
+
+
+_EMPTY_DECISIONS = pd.DataFrame(
+    {
+        "doc_id": pd.Series(dtype=str), "partition_key": pd.Series(dtype=str),
+        "risk_score": pd.Series(dtype=float), "decision": pd.Series(dtype=str),
+        "reason_codes": pd.Series(dtype=str), "dup_prob": pd.Series(dtype=float),
+        "anom_prob": pd.Series(dtype=float), "n_candidates": pd.Series(dtype="int64"),
+        "top_matches": pd.Series(dtype=str),
+    }
+)
+
+
+def score_documents(
+    documents_path: str,
+    profiles_path: str,
+    media_bloom_path: str,
+    run_dir: str,
+    cfg: ScoreConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run the batch scoring pipeline; writes decisions/ parquet + summary."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from sievedata.sketches.hashing import hash64
+
+    cfg = cfg or ScoreConfig()
+    os.makedirs(run_dir, exist_ok=True)
+    decisions_dir = os.path.join(run_dir, "decisions")
+    if resume and stage_done(decisions_dir):
+        dec = pq.read_table(decisions_dir).to_pandas()
+        return {"decisions": decisions_dir, "n_docs": len(dec),
+                "n_hold": int((dec["decision"] == "HOLD").sum()),
+                "n_review": int((dec["decision"] == "REVIEW").sum())}
+
+    prof_df = pq.read_table(profiles_path).to_pandas()
+    profile_stats = {
+        r["partition_key"]: (float(r["mean_total"]), float(r["std_total"]), int(r["sample_count"]))
+        for _, r in prof_df.iterrows()
+    }
+    with open(media_bloom_path, "rb") as f:
+        bloom_bytes = f.read()
+    profiles_ref = ray.put(profile_stats)
+    bloom_ref = ray.put(bloom_bytes)
+
+    def doc_bucket(t: pa.Table, col: str = "doc_id") -> pa.Array:
+        return pa.array(
+            (hash64(t[col].combine_chunks(), seed=97) % np.uint64(cfg.n_buckets)).astype(np.int64)
+        )
+
+    # pair scoring → per-doc reduce (each stage one bucket shuffle)
+    doc_scores = (
+        read_documents(documents_path)
+        .map_batches(score_parse_batch, batch_format="pyarrow")
+        .map_batches(lambda b: _explode_candidates(b, cfg.n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            PairScorer, batch_format="pandas",
+            fn_constructor_kwargs={"block_group_cap": cfg.block_group_cap},
+            concurrency=(1, 16),
+        )
+        .map_batches(
+            lambda t: t.append_column("doc_bucket", doc_bucket(t)), batch_format="pyarrow"
+        )
+        .groupby("doc_bucket")
+        .map_groups(_make_doc_reducer(cfg), batch_format="pandas")
+    )
+
+    # cogroup finalize: union(scored docs ⊎ all docs) → bucket → merge.
+    # Both sides are padded to one superset schema (union requires it).
+    _UNION_FIELDS: list[tuple[str, pa.DataType]] = [
+        ("doc_id", pa.string()), ("partition_key", pa.string()),
+        ("total", pa.float64()), ("pdf_hash", pa.string()),
+        ("is_credit", pa.bool_()),
+        ("dup_prob", pa.float64()), ("text_dup_prob", pa.float64()),
+        ("top_matches", pa.string()), ("top_invnum_edit", pa.float64()),
+        ("top_same_po", pa.float64()), ("top_days_diff", pa.float64()),
+        ("top_total_diff_pct", pa.float64()), ("top_pdf_equal", pa.float64()),
+        ("n_candidates", pa.int64()), ("side", pa.string()),
+        ("doc_bucket", pa.int64()),
+    ]
+
+    def _pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = []
+        for name, typ in _UNION_FIELDS:
+            if name in t.column_names:
+                cols.append(t.column(name).cast(typ))
+            else:
+                cols.append(pa.nulls(n, typ))
+        return pa.table({name: col for (name, _), col in zip(_UNION_FIELDS, cols)})
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["missing_fields"], ""))
+        out = t.select(["doc_id", "partition_key", "total", "pdf_hash", "is_credit"])
+        out = out.append_column("side", pa.array(["doc"] * out.num_rows, pa.string()))
+        out = out.append_column("doc_bucket", doc_bucket(out))
+        return _pad(out)
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        out = t.append_column("side", pa.array(["score"] * t.num_rows, pa.string()))
+        out = out.append_column("doc_bucket", doc_bucket(out))
+        return _pad(out)
+
+    base = (
+        read_documents(documents_path)
+        .map_batches(score_parse_batch, batch_format="pyarrow")
+        .map_batches(base_rows, batch_format="pyarrow")
+    )
+    scored = doc_scores.map_batches(score_rows, batch_format="pyarrow")
+
+    decisions = (
+        base.union(scored)
+        .groupby("doc_bucket")
+        .map_groups(
+            FinalizeDecisions, batch_format="pandas",
+            fn_constructor_kwargs={
+                "profiles_ref": profiles_ref,
+                "bloom_ref": bloom_ref,
+                "cfg_dict": {
+                    "review_threshold": cfg.review_threshold,
+                    "hold_threshold": cfg.hold_threshold,
+                },
+            },
+            concurrency=(1, 16),
+        )
+    )
+    with commit_dir(decisions_dir) as tmp:
+        decisions.write_parquet(tmp)
+
+    dec = pq.read_table(decisions_dir).to_pandas()
+    return {"decisions": decisions_dir, "n_docs": len(dec),
+            "n_hold": int((dec["decision"] == "HOLD").sum()),
+            "n_review": int((dec["decision"] == "REVIEW").sum())}

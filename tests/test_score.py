@@ -1,0 +1,198 @@
+"""Scoring-pipeline tests: planted-twin outcomes + EXACT row match against a
+pure-python orchestration oracle (same kernels — already golden-tested — but
+independent blocking/dedup/cap/top-k/fusion logic in plain dict loops)."""
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def t1_score(ray_session, t1_tables, tmp_path_factory):
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.score import ScoreConfig, score_documents
+
+    root = tmp_path_factory.mktemp("t1_score")
+    prof = build_profiles(
+        t1_tables["baseline"], t1_tables["media_catalog"], str(root / "profiles")
+    )
+    cfg = ScoreConfig()
+    res = score_documents(
+        t1_tables["documents"], prof["profiles"], prof["media_bloom"],
+        str(root / "run"), cfg=cfg, resume=False,
+    )
+    dec = pq.read_table(res["decisions"]).to_pandas()
+    return {"profiles": prof, "cfg": cfg, "decisions": dec, "tables": t1_tables}
+
+
+def test_planted_twins_held(t1_score):
+    dec = t1_score["decisions"]
+    twins = dec[dec["doc_id"].str.endswith("~dup")]
+    assert len(twins) > 0
+    assert (twins["decision"] == "HOLD").all()
+    assert twins["reason_codes"].str.contains("EXACT_INVNUM").all()
+    assert twins["reason_codes"].str.contains("PDF_NEAR_DUP").all()
+    nears = dec[dec["doc_id"].str.endswith("~near")]
+    assert nears["reason_codes"].str.contains("SAME_PO_NEAR_TOTAL").all()
+    # missing-field docs are rejected at the edge → absent from decisions
+    assert not dec["risk_score"].isna().any()
+    assert dec["risk_score"].between(0, 100).all()
+
+
+def _oracle_score_vendor(tables, profiles, cfg, vendor: str) -> pd.DataFrame:
+    """Plain-python re-implementation of the batch scoring flow for one
+    vendor partition."""
+    from sievedata.kernels.anomaly import anomaly_score
+    from sievedata.kernels.decision import decide, fuse_scores
+    from sievedata.kernels.features import header_features, line_assign_features
+    from sievedata.kernels.model import predict_dup_prob
+    from sievedata.kernels.similarity import dice_3gram
+    from sievedata.oracle import parse_doc_row
+    from sievedata.kernels.normalize import desc_norm, hash_account
+    from sievedata.sketches import BloomFilter
+
+    import datetime
+
+    prof_df = pq.read_table(profiles["profiles"]).to_pandas().set_index("partition_key")
+    cat = pq.read_table(tables["media_catalog"], columns=["media_ref"])
+    bf = BloomFilter(capacity=max(cat.num_rows, 1), fp_rate=1e-4)
+    bf.add(cat.column("media_ref").combine_chunks())
+
+    raw = pq.read_table(tables["documents"]).to_pylist()
+    docs = []
+    for r in raw:
+        d = parse_doc_row(r["doc_id"], r["spans"])
+        if (d.get("vendor_id") or "") != vendor or d["missing"]:
+            continue
+        lines = []
+        for lt in d["lines"]:
+            parts = lt.split("|")
+            lines.append(
+                {"desc_norm": desc_norm(parts[0]), "qty": float(parts[1]),
+                 "unit_price": float(parts[2]), "amount": float(parts[3])}
+            )
+        d["lines_structs"] = lines
+        d["line_text"] = " ".join(l["desc_norm"] for l in lines)
+        d["invoice_number_norm"] = d["invnum_norm"] or ""
+        d["date_obj"] = datetime.date.fromisoformat(d["invoice_date"])
+        d["remit_account_hash"] = hash_account(d.get("remit_account"))
+        d["month"] = d["invoice_date"][:7].replace("-", "")
+        d["amount_month"] = f"{round(d['total_f'], 2)}|{d['month']}"
+        docs.append(d)
+
+    # block groups per family (doc_id sorted, group cap, per-doc window)
+    fam_keys = [("invnum", "invnum_norm"), ("po", "po_number"),
+                ("amount", "amount_month"), ("acct", "remit_account_hash")]
+    eligible = [d for d in docs if not d["is_credit"]]
+    cand: dict[str, list[tuple[int, str]]] = {}
+    for fam_idx, (fam, key) in enumerate(fam_keys):
+        groups: dict[str, list[dict]] = {}
+        for d in eligible:
+            if d.get(key) is not None:
+                groups.setdefault(str(d[key]), []).append(d)
+        for members in groups.values():
+            members = sorted(members, key=lambda x: x["doc_id"])[: cfg.block_group_cap]
+            w = 25
+            for i, a in enumerate(members):
+                for j in range(max(0, i - w), min(len(members), i + w + 1)):
+                    if i != j:
+                        cand.setdefault(a["doc_id"], []).append(
+                            (fam_idx, members[j]["doc_id"])
+                        )
+
+    by_id = {d["doc_id"]: d for d in docs}
+    rows = []
+    for d in docs:
+        pairs = sorted(set(cand.get(d["doc_id"], [])))
+        seen = set()
+        kept = []
+        for fam_idx, cid in pairs:
+            if cid not in seen:
+                seen.add(cid)
+                kept.append(cid)
+            if len(kept) >= cfg.candidate_cap:
+                break
+        scored = []
+        for cid in kept:
+            b = by_id[cid]
+            a_h = {"total": d["total_f"], "invoice_date": d["date_obj"],
+                   "po_number": d.get("po_number"), "currency": d.get("currency"),
+                   "tax_total": float(d.get("tax_total") or 0.0),
+                   "remit_account_hash": d["remit_account_hash"],
+                   "remit_name": d.get("remit_name"),
+                   "invoice_number_norm": d["invoice_number_norm"]}
+            b_h = {"total": b["total_f"], "invoice_date": b["date_obj"],
+                   "po_number": b.get("po_number"), "currency": b.get("currency"),
+                   "tax_total": float(b.get("tax_total") or 0.0),
+                   "remit_account_hash": b["remit_account_hash"],
+                   "remit_name": b.get("remit_name"),
+                   "invoice_number_norm": b["invoice_number_norm"]}
+            feats = header_features(a_h, b_h)
+            feats.update(line_assign_features(d["lines_structs"], b["lines_structs"]))
+            feats["text_cosine"] = dice_3gram(d["line_text"], b["line_text"])
+            feats["pdf_equal"] = float(bool(d["pdf_hash"]) and d["pdf_hash"] == b["pdf_hash"])
+            scored.append((cid, predict_dup_prob(feats), feats))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        top = scored[:3]
+        dup_prob = top[0][1] if top else 0.0
+        text_dup = max((t[2]["text_cosine"] for t in top), default=0.0)
+
+        prow = prof_df.loc[vendor] if vendor in prof_df.index else None
+        bank_change = not bool(bf.contains([f"media://{d['pdf_hash']}"])[0])
+        anom_prob, anom_reasons = anomaly_score(
+            d["total_f"],
+            float(prow["mean_total"]) if prow is not None else 0.0,
+            float(prow["std_total"]) if prow is not None else 0.0,
+            int(prow["sample_count"]) if prow is not None else 0,
+            bank_change,
+            vendor_hist_count=int(prow["sample_count"]) if prow is not None else 0,
+            has_baseline=prow is not None,
+        )
+        is_outlier = ("UNIT_PRICE_OUTLIER" in anom_reasons) and not d["is_credit"]
+        risk = fuse_scores(dup_prob, anom_prob, bank_change, text_dup)
+        decision = decide(risk, cfg.review_threshold, cfg.hold_threshold)
+        codes = []
+        if top:
+            f0 = top[0][2]
+            if f0["invnum_edit"] == 0.0:
+                codes.append("EXACT_INVNUM")
+            if (f0["same_po"] == 1.0 and f0["abs_total_diff_pct"] <= 0.005
+                    and f0["days_diff"] <= 30):
+                codes.append("SAME_PO_NEAR_TOTAL")
+            if f0["pdf_equal"] == 1.0:
+                codes.append("PDF_NEAR_DUP")
+        if bank_change:
+            codes.append("BANK_CHANGE")
+        if is_outlier:
+            codes.append("UNIT_PRICE_OUTLIER")
+        rows.append(
+            (d["doc_id"], vendor, round(risk, 2), decision,
+             ",".join(dict.fromkeys(codes)), len(kept))
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "partition_key", "risk_score", "decision",
+                       "reason_codes", "n_candidates"]
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def test_score_matches_oracle_one_vendor(t1_score):
+    vendor = "V0005"
+    oracle = _oracle_score_vendor(
+        t1_score["tables"], t1_score["profiles"], t1_score["cfg"], vendor
+    )
+    engine = (
+        t1_score["decisions"]
+        .loc[lambda d: d["partition_key"] == vendor,
+             ["doc_id", "partition_key", "risk_score", "decision",
+              "reason_codes", "n_candidates"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(engine) == len(oracle)
+    pd.testing.assert_frame_equal(
+        engine[["doc_id", "decision", "reason_codes", "n_candidates"]],
+        oracle[["doc_id", "decision", "reason_codes", "n_candidates"]],
+    )
+    np.testing.assert_allclose(
+        engine["risk_score"], oracle["risk_score"], rtol=0, atol=1e-9
+    )
