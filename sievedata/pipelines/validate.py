@@ -347,24 +347,48 @@ def _make_bucket_checker(cfg: ValidateConfig):
         po = df[(df["family"] == "po") & (size >= 2)]
         if len(po):
             rows: list[tuple[str, str, str, str]] = []
-            for (pk, _f, key), g in po.groupby(
-                ["partition_key", "family", "block_key"], sort=False
-            ):
-                totals = g["total"].to_numpy(dtype=float)
-                dates = pd.to_datetime(g["invoice_date"]).to_numpy().astype("datetime64[D]")
-                ids = g["doc_id"].to_numpy()
-                for j in range(1, len(g)):
-                    lo = max(0, j - cap)
-                    tj = totals[j]
-                    tol = pct_tol * max(abs(tj), 1.0)
-                    for i in range(lo, j):
-                        gap = abs((dates[j] - dates[i]).astype(int))
-                        if abs(tj - totals[i]) <= tol and gap <= window:
-                            rows.append(
-                                (pk, ids[j], REASON_SAME_PO_NEAR_TOTAL,
-                                 f"po={key};match={ids[i]}")
-                            )
-                            break
+            # convert dates ONCE per bucket (day ints), then one vectorized
+            # pair matrix per group: first earlier doc within the scan window
+            # matching |Δtotal| ≤ tol ∧ gap ≤ window days
+            po_days = (
+                pd.to_datetime(po["invoice_date"]).to_numpy().astype("datetime64[D]").astype(np.int64)
+            )
+            po_totals = po["total"].to_numpy(dtype=float)
+            po_ids = po["doc_id"].to_numpy()
+            po_pk = po["partition_key"].to_numpy()
+            po_key = po["block_key"].to_numpy()
+            grp_codes = (
+                po.groupby(["partition_key", "block_key"], sort=False).ngroup().to_numpy()
+            )
+            boundaries = np.flatnonzero(np.diff(grp_codes)) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(po)]])
+            for s, e in zip(starts, ends):
+                n = e - s
+                if n < 2:
+                    continue
+                t = po_totals[s:e]
+                d = po_days[s:e]
+                tol = pct_tol * np.maximum(np.abs(t), 1.0)
+                ii = np.arange(n)
+                # chunk rows to bound the n×n matrices on degenerate groups
+                for c0 in range(0, n, 1024):
+                    c1 = min(c0 + 1024, n)
+                    M = (
+                        (np.abs(t[c0:c1, None] - t[None, :]) <= tol[c0:c1, None])
+                        & (np.abs(d[c0:c1, None] - d[None, :]) <= window)
+                        & (ii[None, :] < ii[c0:c1, None])
+                        & (ii[None, :] >= ii[c0:c1, None] - cap)
+                    )
+                    hit = M.any(axis=1)
+                    first = M.argmax(axis=1)
+                    for off in np.flatnonzero(hit):
+                        j = s + c0 + off
+                        i = s + first[off]
+                        rows.append(
+                            (po_pk[j], po_ids[j], REASON_SAME_PO_NEAR_TOTAL,
+                             f"po={po_key[j]};match={po_ids[i]}")
+                        )
             if rows:
                 frames.append(
                     pd.DataFrame(rows, columns=["partition_key", "doc_id", "reason_code", "detail"])
@@ -536,11 +560,9 @@ def validate_documents(
             checked.write_parquet(tmp)
     _mark("stage1_checked")
 
-    # Stages 2 and 3 both read the narrow intermediate (column-pruned) and
-    # are independent → run them CONCURRENTLY from driver threads so their
-    # pipeline latencies overlap and the streaming executor interleaves work.
-    import concurrent.futures
-
+    # Stages 2 and 3 both read the narrow intermediate (column-pruned).
+    # They run SEQUENTIALLY: two concurrently-executing Datasets contend for
+    # the same CPU pool and thrash (measured 2× slower than back-to-back).
     def _stage2_violations() -> None:
         if resume and stage_done(violations_dir):
             return
@@ -572,12 +594,10 @@ def validate_documents(
             .to_pandas()
         )
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
-        f2 = pool.submit(_stage2_violations)
-        f3 = pool.submit(_stage3_verdicts)
-        f2.result()
-        part_verdicts = f3.result()
-    _mark("stage23_violations_partials")
+    _stage2_violations()
+    _mark("stage2_violations")
+    part_verdicts = _stage3_verdicts()
+    _mark("stage3_partials")
 
     # Stage 4: assemble verdicts per (partition, check) from violation counts
     vio = pq.read_table(violations_dir).to_pandas()
