@@ -136,6 +136,12 @@ def run_bench() -> dict:
 
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "5000000"))
 SCALING_VENDORS = 1000
+# scoring scaling workload: compute-bound (pairwise featurization), so it
+# demonstrates CPU scaling on one box; the validate pass is deliberately so
+# lean per byte that a single node runs it at disk/memory bandwidth, flat in
+# num_cpus (each node of a real cluster adds its own bandwidth)
+SCORE_SCALING_DOCS = int(os.environ.get("GRAFT_SCORE_SCALING_DOCS", "10000"))
+SCORE_SCALING_VENDORS = 100
 
 
 def _warm_workers() -> None:
@@ -193,11 +199,43 @@ def run_validate_only() -> dict:
     return out
 
 
-def _prepare_scaling_fixture() -> None:
+def run_score_only() -> dict:
+    """One timed flagship scoring run (compute-bound scaling workload)."""
     import ray
 
-    cache = f"/tmp/sievedata_scaling_{SCALING_DOCS}"
-    if os.path.exists(os.path.join(cache, "profiles", "profiles.parquet")):
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from sievedata.pipelines.score import score_documents
+
+    cache = f"/tmp/sievedata_scorescale_{SCORE_SCALING_DOCS}"
+    _warm_workers()
+    t0 = time.perf_counter()
+    res = score_documents(
+        os.path.join(cache, "documents"),
+        os.path.join(cache, "profiles", "profiles.parquet"),
+        os.path.join(cache, "profiles", "media_bloom.bin"),
+        os.path.join(cache, f"score_{NUM_CPUS}"),
+        resume=False,
+    )
+    t = time.perf_counter() - t0
+    out = {"value": round(t, 3), "unit": "sec", "num_cpus": NUM_CPUS,
+           "scored_docs": res["n_docs"],
+           "scored_docs_per_sec": round(res["n_docs"] / t, 1)}
+    ray.shutdown()
+    return out
+
+
+def _prepare_scaling_fixtures() -> None:
+    import ray
+
+    v_cache = f"/tmp/sievedata_scaling_{SCALING_DOCS}"
+    s_cache = f"/tmp/sievedata_scorescale_{SCORE_SCALING_DOCS}"
+    need_v = not os.path.exists(os.path.join(v_cache, "profiles", "profiles.parquet"))
+    need_s = not os.path.exists(os.path.join(s_cache, "profiles", "profiles.parquet"))
+    if not (need_v or need_s):
         return
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -207,47 +245,58 @@ def _prepare_scaling_fixture() -> None:
     from sievedata.fixtures import generate_fixture_ray
     from sievedata.pipelines.profile import build_profiles
 
-    fix = generate_fixture_ray(
-        cache, n_docs=SCALING_DOCS, n_vendors=SCALING_VENDORS,
-        n_shards=max(64, min(512, SCALING_DOCS // 20000)),
-    )
-    build_profiles(fix["baseline"], fix["media_catalog"], os.path.join(cache, "profiles"))
-    # warm page cache
-    for root, _, files in os.walk(os.path.join(cache, "documents")):
-        for f in files:
-            with open(os.path.join(root, f), "rb") as fh:
-                fh.read()
+    if need_v:
+        fix = generate_fixture_ray(
+            v_cache, n_docs=SCALING_DOCS, n_vendors=SCALING_VENDORS,
+            n_shards=max(64, min(512, SCALING_DOCS // 20000)),
+        )
+        build_profiles(fix["baseline"], fix["media_catalog"], os.path.join(v_cache, "profiles"))
+    if need_s:
+        fix = generate_fixture_ray(
+            s_cache, n_docs=SCORE_SCALING_DOCS, n_vendors=SCORE_SCALING_VENDORS,
+            n_shards=64,
+        )
+        build_profiles(fix["baseline"], fix["media_catalog"], os.path.join(s_cache, "profiles"))
+    for cache in (v_cache, s_cache):
+        for root, _, files in os.walk(os.path.join(cache, "documents")):
+            for f in files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    fh.read()
     ray.shutdown()
 
 
 def run_scaling() -> None:
-    """North-rule scaling evidence: the SAME validate job at num_cpus=8 and
-    32 in fresh processes over the same cached input; eff = (t8/t32)/4."""
-    _prepare_scaling_fixture()
-    results = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--validate-only"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    tp8 = results[8]["validated_docs_per_sec"]
-    tp32 = results[32]["validated_docs_per_sec"]
-    t8, t32 = results[8]["value"], results[32]["value"]
-    print(
-        json.dumps(
-            {
-                "metric": "scaling efficiency 8→32 cpus (flagship validate)",
-                "validated_docs": results[8]["validated_docs"],
-                "sec_8": t8,
-                "sec_32": t32,
-                "docs_per_sec_8": tp8,
-                "docs_per_sec_32": tp32,
-                "scaling_efficiency": round((tp32 / tp8) / 4.0, 3),
-            }
-        )
-    )
+    """North-rule scaling evidence: the SAME jobs at num_cpus=8 and 32 in
+    fresh processes over the same cached, page-warmed inputs.
+
+    Two workloads: flagship validate (IO/bandwidth-balanced — flat on one
+    box, scales with nodes on a cluster) and flagship score (compute-bound —
+    demonstrates CPU scaling directly); eff = (throughput32/throughput8)/4.
+    """
+    _prepare_scaling_fixtures()
+    out: dict = {"metric": "scaling efficiency 8→32 cpus"}
+    for label, flag, tp_key, n_key in (
+        ("score", "--score-only", "scored_docs_per_sec", "scored_docs"),
+        ("validate", "--validate-only", "validated_docs_per_sec", "validated_docs"),
+    ):
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        tp8, tp32 = results[8][tp_key], results[32][tp_key]
+        out[label] = {
+            "docs": results[8][n_key],
+            "sec_8": results[8]["value"],
+            "sec_32": results[32]["value"],
+            "docs_per_sec_8": tp8,
+            "docs_per_sec_32": tp32,
+            "scaling_efficiency": round((tp32 / tp8) / 4.0, 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -255,5 +304,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--validate-only" in sys.argv:
         print(json.dumps(run_validate_only()))
+    elif "--score-only" in sys.argv:
+        print(json.dumps(run_score_only()))
     else:
         print(json.dumps(run_bench()))

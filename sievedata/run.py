@@ -1,0 +1,103 @@
+"""CLI entry point — ``ray job submit``-shaped driver for the engine.
+
+Usage (single node; on a cluster, submit via ``ray job submit -- python -m
+sievedata.run ...`` with address taken from the environment):
+
+    python -m sievedata.run profile  --baseline B --catalog C --out DIR
+    python -m sievedata.run validate --input I --profiles P --bloom B --run-dir DIR
+    python -m sievedata.run score    --input I --profiles P --bloom B --run-dir DIR
+    python -m sievedata.run fixture  --out DIR --docs N --vendors V [--ray]
+
+Owns the Ray session (scripts/CLIs init Ray; library code never does).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sievedata")
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("profile")
+    sp.add_argument("--baseline", required=True)
+    sp.add_argument("--catalog", required=True)
+    sp.add_argument("--out", required=True)
+
+    sv = sub.add_parser("validate")
+    sv.add_argument("--input", required=True)
+    sv.add_argument("--profiles", required=True)
+    sv.add_argument("--bloom", required=True)
+    sv.add_argument("--run-dir", required=True)
+    sv.add_argument("--no-resume", action="store_true")
+
+    ss = sub.add_parser("score")
+    ss.add_argument("--input", required=True)
+    ss.add_argument("--profiles", required=True)
+    ss.add_argument("--bloom", required=True)
+    ss.add_argument("--run-dir", required=True)
+    ss.add_argument("--no-resume", action="store_true")
+
+    sf = sub.add_parser("fixture")
+    sf.add_argument("--out", required=True)
+    sf.add_argument("--docs", type=int, default=2000)
+    sf.add_argument("--vendors", type=int, default=20)
+    sf.add_argument("--seed", type=int, default=42)
+    sf.add_argument("--ray", action="store_true", help="parallel sharded generation")
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "profile":
+            from sievedata.pipelines.profile import build_profiles
+
+            out = build_profiles(args.baseline, args.catalog, args.out)
+        elif args.cmd == "validate":
+            from sievedata.pipelines.validate import validate_documents
+
+            out = validate_documents(
+                args.input, args.profiles, args.bloom, args.run_dir,
+                resume=not args.no_resume,
+            )
+        elif args.cmd == "score":
+            from sievedata.pipelines.score import score_documents
+
+            out = score_documents(
+                args.input, args.profiles, args.bloom, args.run_dir,
+                resume=not args.no_resume,
+            )
+        else:
+            if args.ray:
+                from sievedata.fixtures import generate_fixture_ray
+
+                out = generate_fixture_ray(args.out, args.docs, args.vendors, args.seed)
+            else:
+                from sievedata.fixtures import generate_fixture
+
+                out = generate_fixture(args.out, args.docs, args.vendors, args.seed)
+        print(json.dumps(out, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
