@@ -844,6 +844,76 @@ FROM embeddings
 """
 
 
+def _flagship_fixture(n_docs: int, n_vendors: int) -> dict:
+    """Cached span-document fixture + profiles for the flagship queries."""
+    import os
+
+    from sievedata.fixtures import generate_fixture
+    from sievedata.pipelines.profile import build_profiles
+
+    cache = f"/tmp/sievedata_flagship_{n_docs}"
+    marker = os.path.join(cache, "documents.parquet")
+    if not os.path.exists(marker):
+        generate_fixture(cache, n_docs=n_docs, n_vendors=n_vendors, seed=42)
+    prof_marker = os.path.join(cache, "profiles", "profiles.parquet")
+    if not os.path.exists(prof_marker):
+        build_profiles(
+            os.path.join(cache, "baseline.parquet"),
+            os.path.join(cache, "media_catalog.parquet"),
+            os.path.join(cache, "profiles"),
+        )
+    return {
+        "documents": marker,
+        "profiles": prof_marker,
+        "bloom": os.path.join(cache, "profiles", "media_bloom.bin"),
+        "cache": cache,
+    }
+
+
+def q_validate_flagship(sf_dir: str):
+    """Flagship constraint validation over the span-documents fixture
+    (BASELINE.json input shape); returns the violations table.  Rows-only:
+    exact-match correctness vs the pure-python oracle is asserted by
+    tests/test_e2e.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sievedata.pipelines.validate import validate_documents
+
+    fx = _flagship_fixture(2000, 20)
+    res = validate_documents(
+        fx["documents"], fx["profiles"], fx["bloom"],
+        os.path.join(fx["cache"], "validate_q"), resume=False,
+    )
+    return (
+        pq.read_table(res["violations"]).to_pandas()
+        .sort_values(["partition_key", "doc_id", "reason_code"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_score_flagship(sf_dir: str):
+    """Flagship batch duplicate scoring (the reference's /scoreInvoice flow);
+    returns the decisions table.  Rows-only: per-vendor exact-match vs the
+    python orchestration oracle is asserted by tests/test_score.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sievedata.pipelines.score import score_documents
+
+    fx = _flagship_fixture(2000, 20)
+    res = score_documents(
+        fx["documents"], fx["profiles"], fx["bloom"],
+        os.path.join(fx["cache"], "score_q"), resume=True,
+    )
+    return (
+        pq.read_table(res["decisions"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -898,6 +968,8 @@ _QUERIES = {
     "simhash": q_simhash,
     "minhash_near_dups": q_minhash_near_dups,
     "media_features": q_media_features,
+    "validate_flagship": q_validate_flagship,
+    "score_flagship": q_score_flagship,
 }
 
 
