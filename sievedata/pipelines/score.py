@@ -334,6 +334,36 @@ class FinalizeDecisions:
         )
 
 
+_WORKER_CACHE: dict = {}
+
+
+def _make_pair_scorer_fn(block_group_cap: int, per_doc_window: int = 25):
+    """PairScorer as a plain task function with one per-worker instance
+    (similarity caches persist across tasks; no actor-pool spin-up)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = ("pair", block_group_cap, per_doc_window)
+        inst = _WORKER_CACHE.get(key)
+        if inst is None:
+            inst = PairScorer(block_group_cap, per_doc_window)
+            _WORKER_CACHE[key] = inst
+        return inst(df)
+
+    return fn
+
+
+def _make_finalize_fn(profiles_ref, bloom_ref, cfg_dict: dict):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = ("final", profiles_ref.hex(), bloom_ref.hex())
+        inst = _WORKER_CACHE.get(key)
+        if inst is None:
+            inst = FinalizeDecisions(profiles_ref, bloom_ref, cfg_dict)
+            _WORKER_CACHE[key] = inst
+        return inst(df)
+
+    return fn
+
+
 _EMPTY_DECISIONS = pd.DataFrame(
     {
         "doc_id": pd.Series(dtype=str), "partition_key": pd.Series(dtype=str),
@@ -389,11 +419,7 @@ def score_documents(
         .map_batches(score_parse_batch, batch_format="pyarrow")
         .map_batches(lambda b: _explode_candidates(b, cfg.n_buckets), batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(
-            PairScorer, batch_format="pandas",
-            fn_constructor_kwargs={"block_group_cap": cfg.block_group_cap},
-            concurrency=(1, 16),
-        )
+        .map_groups(_make_pair_scorer_fn(cfg.block_group_cap), batch_format="pandas")
         .map_batches(
             lambda t: t.append_column("doc_bucket", doc_bucket(t)), batch_format="pyarrow"
         )
@@ -426,6 +452,10 @@ def score_documents(
         return pa.table({name: col for (name, _), col in zip(_UNION_FIELDS, cols)})
 
     def base_rows(t: pa.Table) -> pa.Table:
+        # light parse (no line rebuild) — the base side only needs header cols
+        from sievedata.stages.parse import parse_documents_batch
+
+        t = parse_documents_batch(t)
         t = t.filter(pc.equal(t["missing_fields"], ""))
         out = t.select(["doc_id", "partition_key", "total", "pdf_hash", "is_credit"])
         out = out.append_column("side", pa.array(["doc"] * out.num_rows, pa.string()))
@@ -437,27 +467,19 @@ def score_documents(
         out = out.append_column("doc_bucket", doc_bucket(out))
         return _pad(out)
 
-    base = (
-        read_documents(documents_path)
-        .map_batches(score_parse_batch, batch_format="pyarrow")
-        .map_batches(base_rows, batch_format="pyarrow")
-    )
+    base = read_documents(documents_path).map_batches(base_rows, batch_format="pyarrow")
     scored = doc_scores.map_batches(score_rows, batch_format="pyarrow")
 
     decisions = (
         base.union(scored)
         .groupby("doc_bucket")
         .map_groups(
-            FinalizeDecisions, batch_format="pandas",
-            fn_constructor_kwargs={
-                "profiles_ref": profiles_ref,
-                "bloom_ref": bloom_ref,
-                "cfg_dict": {
-                    "review_threshold": cfg.review_threshold,
-                    "hold_threshold": cfg.hold_threshold,
-                },
-            },
-            concurrency=(1, 16),
+            _make_finalize_fn(
+                profiles_ref, bloom_ref,
+                {"review_threshold": cfg.review_threshold,
+                 "hold_threshold": cfg.hold_threshold},
+            ),
+            batch_format="pandas",
         )
     )
     with commit_dir(decisions_dir) as tmp:
