@@ -69,6 +69,53 @@ def merge_topk(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     return out
 
 
+def kmeans_fit(
+    sample: np.ndarray, k: int, n_iter: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a (normalized) sample — the IVF
+    coarse quantizer.  Runs on the driver over a bounded sample; assignment
+    of the full corpus is a map_batches stage."""
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = rng.choice(sample.shape[0], size=min(k, sample.shape[0]), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IVFAssign:
+    """map_batches stage: nearest-centroid id per corpus vector."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        cent = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.cent = _normalize(np.asarray(cent, dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        emb = _normalize(emb)
+        cluster = (emb @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(cluster))
+
+
+def ivf_probe_clusters(
+    query_matrix: np.ndarray, centroids: np.ndarray, n_probe: int
+) -> np.ndarray:
+    """(n_queries, n_probe) centroid ids ranked by similarity."""
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    sims = qm @ _normalize(centroids).T
+    return np.argsort(-sims, axis=1)[:, :n_probe]
+
+
 def hyperplane_signatures(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Sign-bit bucket id per vector: uint64 of (emb @ planes.T > 0) bits."""
     bits = (emb @ planes.T) > 0

@@ -844,6 +844,99 @@ FROM embeddings
 """
 
 
+def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
+                   n_centroids: int = 16, n_probe: int = 4):
+    """IVF-bucketed ANN (the scale path): k-means coarse quantizer fit on a
+    driver-side sample, corpus assigned to centroids in map_batches, queries
+    probe only their top-``n_probe`` clusters.  Approximate by design →
+    rows-only; recall vs brute force is asserted in tests/test_ann.py."""
+    import ray
+
+    from sievedata.functions.ann import (
+        BruteForceTopK, IVFAssign, ivf_probe_clusters, kmeans_fit, merge_topk,
+    )
+
+    sample = (
+        _rp(sf_dir, "embeddings", ["embedding"]).limit(10000).to_pandas()
+    )
+    sm = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    cent = kmeans_fit(sm, k=n_centroids)
+    cent_ref = ray.put(cent)
+
+    qdf = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < n_queries)
+        .to_pandas()
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    probes = ivf_probe_clusters(qm, cent, n_probe)
+    probe_set = sorted({int(c) for row in probes for c in row})
+    probe_ref = ray.put(set(probe_set))
+    queries_ref = ray.put((qids, qm))
+
+    def in_probed(t: pa.Table) -> pa.Table:
+        keep = ray.get(probe_ref)
+        mask = [int(c) in keep for c in t["cluster"].to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array(mask))
+
+    cands = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(IVFAssign, batch_format="pyarrow", concurrency=(1, 4),
+                     fn_constructor_kwargs={"centroids_ref": cent_ref})
+        .map_batches(in_probed, batch_format="pyarrow")
+        .map_batches(
+            BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
+            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        )
+        .to_pandas()
+    )
+    cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    out = merge_topk(cands, k=k)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-duplicate pairs: per-batch matmul against the
+    (broadcast) full normalized matrix — the brute-force baseline of the
+    embedding dedup family."""
+    import ray
+
+    from sievedata.functions.ann import _normalize
+
+    all_df = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    ids = all_df["vec_id"].to_numpy()
+    mat = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]]))
+    mat_ref = ray.put((ids, mat))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a_ids_all, m = ray.get(mat_ref)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        ))
+        sims = emb @ m.T
+        rows_a, rows_b = [], []
+        ai, bj = np.nonzero(sims >= threshold)
+        for i, j in zip(ai, bj):
+            a, b = int(vec_ids[i]), int(a_ids_all[j])
+            if a < b:
+                rows_a.append(a)
+                rows_b.append(b)
+        return pa.table({"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64())})
+
+    return _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
 def _flagship_fixture(n_docs: int, n_vendors: int) -> dict:
     """Cached span-document fixture + profiles for the flagship queries."""
     import os
@@ -939,6 +1032,7 @@ _ORACLE = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
 }
 
 _QUERIES = {
@@ -962,6 +1056,8 @@ _QUERIES = {
     "events_sessions": q_events_sessions,
     "ann_topk": q_ann_topk,
     "embedding_norms": q_embedding_norms,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,

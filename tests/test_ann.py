@@ -1,0 +1,60 @@
+"""ANN operators: brute-force exactness is covered by the DuckDB oracle
+(ann_topk); here: IVF recall vs brute force, kmeans determinism, LSH
+signatures, SimHash/Hamming sanity."""
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_deterministic():
+    from sievedata.functions.ann import kmeans_fit
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (500, 16))
+    c1 = kmeans_fit(x, k=8)
+    c2 = kmeans_fit(x, k=8)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from sievedata.queries import q_ann_ivf_topk, q_ann_topk
+
+    brute = q_ann_topk(SF)
+    ivf = q_ann_ivf_topk(SF)
+    recall = []
+    for qid in brute["query_id"].unique():
+        b = set(brute.loc[brute["query_id"] == qid, "neighbor_id"])
+        i = set(ivf.loc[ivf["query_id"] == qid, "neighbor_id"])
+        recall.append(len(b & i) / len(b))
+    assert np.mean(recall) >= 0.6, recall
+
+
+def test_hyperplane_lsh_buckets_similar_vectors():
+    from sievedata.functions.ann import hyperplane_signatures, make_planes
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(0, 1, (100, 32))
+    noisy = base + rng.normal(0, 0.01, base.shape)
+    planes = make_planes(32, n_bits=8)
+    s1 = hyperplane_signatures(base, planes)
+    s2 = hyperplane_signatures(noisy, planes)
+    assert (s1 == s2).mean() > 0.8  # tiny perturbations rarely flip buckets
+    far = rng.normal(0, 1, (100, 32))
+    s3 = hyperplane_signatures(far, planes)
+    assert (s1 == s3).mean() < 0.3
+
+
+def test_simhash_hamming():
+    from sievedata.functions.text import hamming64, simhash_column
+
+    texts = ["the quick brown fox jumps over the lazy dog" * 3,
+             "the quick brown fox jumps over the lazy cat" * 3,
+             "completely different content about spark and ray data engines"]
+    sigs = simhash_column(texts)
+    d_near = hamming64(sigs[0:1], sigs[1:2])[0]
+    d_far = hamming64(sigs[0:1], sigs[2:3])[0]
+    assert d_near < d_far
+    assert hamming64(sigs[0:1], sigs[0:1])[0] == 0
