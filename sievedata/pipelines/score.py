@@ -394,7 +394,10 @@ def score_documents(
     decisions_dir = os.path.join(run_dir, "decisions")
     if resume and stage_done(decisions_dir):
         dec = pq.read_table(decisions_dir).to_pandas()
-        return {"decisions": decisions_dir, "n_docs": len(dec),
+        return {"decisions": decisions_dir,
+                "cases": os.path.join(run_dir, "cases.parquet"),
+                "audit": os.path.join(run_dir, "audit_log.jsonl"),
+                "n_docs": len(dec),
                 "n_hold": int((dec["decision"] == "HOLD").sum()),
                 "n_review": int((dec["decision"] == "REVIEW").sum())}
 
@@ -486,6 +489,41 @@ def score_documents(
         decisions.write_parquet(tmp)
 
     dec = pq.read_table(decisions_dir).to_pandas()
-    return {"decisions": decisions_dir, "n_docs": len(dec),
+
+    # case sink (S6, app/case.py:16-50): OPEN case per HOLD/REVIEW decision
+    # with an SLA due date; deterministic run_date instead of NOW() so batch
+    # re-runs are idempotent (OPS-002)
+    import datetime as _dt
+    import json as _json
+
+    cases = dec[dec["decision"] != "PASS"].copy()
+    run_date = _dt.date(2026, 1, 1)
+    cases["case_id"] = "case_" + cases["doc_id"]
+    cases["status"] = "OPEN"
+    cases["sla_due"] = (run_date + _dt.timedelta(days=2)).isoformat()
+    cases_path = os.path.join(run_dir, "cases.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            cases[["case_id", "doc_id", "partition_key", "decision",
+                   "risk_score", "status", "sla_due"]],
+            preserve_index=False,
+        ),
+        cases_path,
+    )
+
+    # audit sink (S7, app/audit.py:13-32): append-only run log with lineage
+    audit_path = os.path.join(run_dir, "audit_log.jsonl")
+    with open(audit_path, "a") as f:
+        f.write(_json.dumps({
+            "action": "score", "object": "documents",
+            "input": documents_path, "profiles": profiles_path,
+            "engine_version": "0.1.0",
+            "n_docs": int(len(dec)),
+            "n_hold": int((dec["decision"] == "HOLD").sum()),
+            "n_review": int((dec["decision"] == "REVIEW").sum()),
+        }, sort_keys=True) + "\n")
+
+    return {"decisions": decisions_dir, "cases": cases_path, "audit": audit_path,
+            "n_docs": len(dec),
             "n_hold": int((dec["decision"] == "HOLD").sum()),
             "n_review": int((dec["decision"] == "REVIEW").sum())}

@@ -22,7 +22,23 @@ def t1_score(ray_session, t1_tables, tmp_path_factory):
         str(root / "run"), cfg=cfg, resume=False,
     )
     dec = pq.read_table(res["decisions"]).to_pandas()
-    return {"profiles": prof, "cfg": cfg, "decisions": dec, "tables": t1_tables}
+    return {"profiles": prof, "cfg": cfg, "decisions": dec, "tables": t1_tables,
+            "result": res}
+
+
+def test_cases_and_audit_sinks(t1_score):
+    import json
+    import os
+
+    res = t1_score["result"]
+    cases = pq.read_table(res["cases"]).to_pandas()
+    dec = t1_score["decisions"]
+    assert len(cases) == (dec["decision"] != "PASS").sum()
+    assert (cases["status"] == "OPEN").all()
+    assert cases["case_id"].str.startswith("case_").all()
+    assert os.path.exists(res["audit"])
+    entries = [json.loads(l) for l in open(res["audit"])]
+    assert entries[-1]["action"] == "score" and entries[-1]["n_docs"] == len(dec)
 
 
 def test_planted_twins_held(t1_score):
