@@ -172,6 +172,34 @@ GROUP BY r_name
 """
 
 
+def q_join_native(sf_dir: str):
+    """Native hash-partitioned shuffle join (``Dataset.join``) for the
+    both-sides-large case: lineitem ⋈ part on partkey → revenue per brand.
+    (The broadcast pattern above is preferred when one side is small.)"""
+    from ray.data.aggregate import Count, Sum
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _rp(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=16,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+    out = (
+        joined.groupby("p_brand")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_rows"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out
+
+
+SQL_JOIN_NATIVE = """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q_anti_join(sf_dir: str):
     """Broadcast anti semi-join: customers whose nation is NOT in region 0
     (the Bloom/anti-lookup pattern of app/anomaly.py:46-68)."""
@@ -1017,6 +1045,7 @@ _ORACLE = {
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "region_customers": SQL_REGION_CUSTOMERS,
     "anti_join": SQL_ANTI_JOIN,
+    "join_native": SQL_JOIN_NATIVE,
     "topk_orders": SQL_TOPK_ORDERS,
     "top_order_per_customer": SQL_TOP_ORDER_PER_CUSTOMER,
     "distinct_parts": SQL_DISTINCT_PARTS,
@@ -1041,6 +1070,7 @@ _QUERIES = {
     "segment_revenue": q_segment_revenue,
     "region_customers": q_region_customers,
     "anti_join": q_anti_join,
+    "join_native": q_join_native,
     "topk_orders": q_topk_orders,
     "top_order_per_customer": q_top_order_per_customer,
     "distinct_parts": q_distinct_parts,
