@@ -42,7 +42,10 @@ def invnum_norm_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
     Exactly one leading prefix is stripped, longest alternative first
     (INVOICE before INV), matching Python ``re`` alternation semantics in the
-    scalar form.
+    scalar form.  Known divergence from the scalar form: Arrow's utf8_upper
+    does not apply locale-special casefolds (ß→ẞ, not SS) — irrelevant for
+    invoice-number-like ASCII fields, asserted equivalent on ASCII by
+    property tests.
     """
     a = pc.utf8_upper(pc.utf8_trim_whitespace(arr))
     a = pc.replace_substring_regex(a, r"[\s\-_/]", "")

@@ -22,7 +22,8 @@ from sievedata.kernels.normalize import invnum_norm
 from sievedata.pipelines.validate import ValidateConfig
 from sievedata.schema import (
     CHECK_DRIFT, CHECK_DUPLICATE, CHECK_RANGE, CHECK_REFERENTIAL,
-    CHECK_SCHEMA, CHECK_UNIQUENESS, REASON_BANK_CHANGE, REASON_EXACT_INVNUM,
+    CHECK_SCHEMA, CHECK_STRUCTURE, CHECK_UNIQUENESS,
+    REASON_BANK_CHANGE, REASON_EXACT_INVNUM,
     REASON_MISSING_FIELD, REASON_PDF_NEAR_DUP, REASON_SAME_PO_NEAR_TOTAL,
     REASON_UNIT_PRICE_OUTLIER, REQUIRED_KINDS,
 )
@@ -43,6 +44,7 @@ def parse_doc_row(doc_id: str, spans: list[dict]) -> dict:
         elif k not in fields:
             fields[k] = s["text"]
     fields["lines"] = lines
+    fields["n_spans"] = len(spans)
     missing = [k for k in REQUIRED_KINDS if fields.get(k) is None]
     if not lines:
         missing.append("line_items")
@@ -199,6 +201,23 @@ def oracle_validate(
             rows.append(
                 (pk, CHECK_DRIFT, bool(val <= thresh), n_docs, 0, float(val),
                  f"threshold={thresh:.6f}")
+            )
+        # structure: avg spans/doc vs profile span-kind histogram expectation
+        import json as _json
+
+        span_total_prof = 0
+        if p is not None and isinstance(p.get("span_kind_histogram"), str):
+            span_total_prof = sum(_json.loads(p["span_kind_histogram"]).values())
+        if p is None or not span_total_prof or n_elig == 0:
+            rows.append((pk, CHECK_STRUCTURE, True, n_docs, 0, 0.0, "no_profile"))
+        else:
+            span_sum = sum(d["n_spans"] for d in elig)
+            cur_avg = span_sum / n_elig
+            exp_avg = span_total_prof / max(int(p["sample_count"]), 1)
+            ratio = cur_avg / exp_avg if exp_avg else 1.0
+            rows.append(
+                (pk, CHECK_STRUCTURE, bool(0.9 <= ratio <= 1.1), n_docs, 0,
+                 float(cur_avg), f"expected={exp_avg:.6f}")
             )
         # uniqueness
         h_doc = HyperLogLog().update([d["doc_id"] for d in elig])

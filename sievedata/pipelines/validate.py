@@ -46,6 +46,7 @@ import pyarrow.parquet as pq
 from sievedata.pipelines.checkpoint import commit_dir, stage_done
 from sievedata.schema import (
     CHECK_DRIFT,
+    CHECK_STRUCTURE,
     CHECK_DUPLICATE,
     CHECK_RANGE,
     CHECK_REFERENTIAL,
@@ -65,7 +66,7 @@ from sievedata.stages.parse import parse_documents_batch
 
 CHECKED_COLUMNS = [
     "doc_id", "partition_key", "invnum_norm", "pdf_hash", "po_number",
-    "total", "invoice_date", "missing_fields", "is_credit",
+    "total", "invoice_date", "missing_fields", "is_credit", "n_spans",
     "bank_change", "amount_z", "is_outlier", "eligible",
 ]
 
@@ -144,6 +145,8 @@ class PerDocChecks:
                 "total", "invoice_date", "missing_fields", "is_credit",
             ]
         )
+        n_spans = pc.cast(pc.list_value_length(batch.column("spans")), pa.int64())
+        out = out.append_column("n_spans", n_spans)
         out = out.append_column("bank_change", pa.array(bank_change))
         out = out.append_column("amount_z", pa.array(z))
         out = out.append_column("is_outlier", pa.array(is_outlier))
@@ -411,10 +414,11 @@ def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> 
     pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
     total = np.nan_to_num(batch.column("total").to_numpy(zero_copy_only=False).astype(np.float64))
     eligible = batch.column("eligible").to_numpy(zero_copy_only=False).astype(bool)
+    n_spans = batch.column("n_spans").to_numpy(zero_copy_only=False).astype(np.int64)
     doc_id = batch.column("doc_id").combine_chunks()
     invnum = batch.column("invnum_norm").combine_chunks()
 
-    keys, n_docs, n_elig, bins, hll_doc, hll_inv = [], [], [], [], [], []
+    keys, n_docs, n_elig, bins, hll_doc, hll_inv, span_sums = [], [], [], [], [], [], []
     for key in np.unique(pk):
         sel = pk == key
         sel_e = sel & eligible
@@ -429,6 +433,7 @@ def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> 
         n_docs.append(int(sel.sum()))
         n_elig.append(int(sel_e.sum()))
         bins.append(c.tolist())
+        span_sums.append(int(n_spans[sel_e].sum()))
         hll_doc.append(HyperLogLog().update(doc_id.take(idx)).to_bytes())
         hll_inv.append(HyperLogLog().update(invnum.take(idx)).to_bytes())
     return pa.table(
@@ -437,6 +442,7 @@ def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> 
             "n_docs": pa.array(n_docs, pa.int64()),
             "n_eligible": pa.array(n_elig, pa.int64()),
             "bin_counts": pa.array(bins, pa.list_(pa.int64())),
+            "span_sum": pa.array(span_sums, pa.int64()),
             "hll_doc_id": pa.array(hll_doc, pa.binary()),
             "hll_invnum": pa.array(hll_inv, pa.binary()),
         }
@@ -476,6 +482,19 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
             rows.append(
                 (key, CHECK_DRIFT, bool(val <= thresh), n_docs, 0, float(val),
                  f"threshold={thresh:.6f}")
+            )
+        # structure verdict: avg spans/doc vs the profile's span-kind
+        # histogram expectation (exact integer sums → bit-identical metric)
+        span_sum = int(g["span_sum"].sum())
+        if prof is None or not prof.get("span_total") or n_elig == 0:
+            rows.append((key, CHECK_STRUCTURE, True, n_docs, 0, 0.0, "no_profile"))
+        else:
+            cur_avg = span_sum / n_elig
+            exp_avg = prof["span_total"] / max(prof["sample_count"], 1)
+            ratio = cur_avg / exp_avg if exp_avg else 1.0
+            rows.append(
+                (key, CHECK_STRUCTURE, bool(0.9 <= ratio <= 1.1), n_docs, 0,
+                 float(cur_avg), f"expected={exp_avg:.6f}")
             )
         # uniqueness verdict (doc_id approximate-distinct ratio)
         est = h_doc.cardinality()
@@ -535,10 +554,14 @@ def validate_documents(
         r["partition_key"]: np.asarray(r["bin_edges"], dtype=np.float64)
         for _, r in prof_df.iterrows()
     }
+    import json as _json
+
     profile_map = {
         r["partition_key"]: {
             "bin_fracs": np.asarray(r["bin_fracs"], dtype=np.float64),
             "sample_count": int(r["sample_count"]),
+            "span_total": sum(_json.loads(r["span_kind_histogram"]).values())
+            if isinstance(r.get("span_kind_histogram"), str) else 0,
         }
         for _, r in prof_df.iterrows()
     }
@@ -586,7 +609,7 @@ def validate_documents(
         return (
             read_documents(
                 checked_dir,
-                columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible"],
+                columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible", "n_spans"],
             )
             .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
             .groupby("partition_key")

@@ -102,3 +102,4 @@ CHECK_REFERENTIAL = "referential"
 CHECK_RANGE = "range"
 CHECK_DRIFT = "drift"
 CHECK_UNIQUENESS = "uniqueness"
+CHECK_STRUCTURE = "structure"

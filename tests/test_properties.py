@@ -1,0 +1,98 @@
+"""Hypothesis property tests: scalar ↔ vectorized kernel equivalence,
+normalization behavior, bloom/hll invariants (SURVEY.md §5 item 5)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sievedata.kernels.normalize import (
+    desc_norm,
+    desc_norm_array,
+    invnum_norm,
+    invnum_norm_array,
+)
+
+# ASCII domain: Arrow's utf8_upper and Python's str.upper() diverge on
+# locale-special casefolds (ß→SS vs ẞ); invoice-number-like fields are ASCII
+# (documented in kernels/normalize.py)
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+_any_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=20))
+def test_invnum_vectorized_equals_scalar(vals):
+    got = invnum_norm_array(pa.array(vals, pa.string())).to_pylist()
+    assert got == [invnum_norm(v) for v in vals]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_any_text, min_size=1, max_size=20))
+def test_desc_vectorized_equals_scalar_and_idempotent(vals):
+    got = desc_norm_array(pa.array(vals, pa.string())).to_pylist()
+    expected = [desc_norm(v) for v in vals]
+    assert got == expected
+    # desc_norm is idempotent (output alphabet is closed under the transform)
+    assert [desc_norm(v) for v in expected] == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="ab01-/ ", max_size=12), min_size=1, max_size=200))
+def test_bloom_never_false_negative(keys):
+    from sievedata.sketches import BloomFilter
+
+    bf = BloomFilter(capacity=max(len(keys), 1))
+    bf.add(keys)
+    assert bf.contains(keys).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.text(alphabet="xyz0123456789", min_size=1, max_size=10),
+             min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=5),
+)
+def test_hll_merge_equals_union_any_split(vals, n_parts):
+    from sievedata.sketches import HyperLogLog
+
+    whole = HyperLogLog().update(vals)
+    parts = [HyperLogLog() for _ in range(n_parts)]
+    for i, v in enumerate(vals):
+        parts[i % n_parts].update([v])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merged(p)
+    np.testing.assert_array_equal(whole.registers, merged.registers)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(-1e5, 1e5), min_size=2, max_size=200),
+       st.integers(min_value=2, max_value=4))
+def test_tdigest_count_and_bounds_under_merge(vals, n_parts):
+    from sievedata.sketches import TDigest
+
+    parts = [TDigest() for _ in range(n_parts)]
+    for i, v in enumerate(vals):
+        parts[i % n_parts].update(np.array([v]))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merged(p)
+    assert merged.count == pytest.approx(len(vals))
+    assert merged.quantile(0.0) == pytest.approx(min(vals))
+    assert merged.quantile(1.0) == pytest.approx(max(vals))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0, 1), st.floats(0, 1), st.booleans(), st.floats(0, 1))
+def test_fuse_scores_bounds_and_bank_floor(dup, anom, bank, text):
+    from sievedata.kernels.decision import fuse_scores
+
+    s = fuse_scores(dup, anom, bank, text)
+    assert 0.0 <= s <= 100.0
+    if bank:
+        assert s >= 80.0
