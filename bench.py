@@ -97,6 +97,26 @@ def run_bench() -> dict:
     t_validate = time.perf_counter() - t0
     timings["flagship_validate"] = round(t_validate, 3)
 
+    # flagship scoring on a compute-bound 10k-doc fixture (cached)
+    from sievedata.pipelines.score import score_documents
+
+    s_cache = "/tmp/sievedata_scorebench_10000"
+    s_fix = generate_fixture_ray(s_cache, n_docs=10_000, n_vendors=100, n_shards=32)
+    s_prof_dir = os.path.join(s_cache, "profiles")
+    if not os.path.exists(os.path.join(s_prof_dir, "profiles.parquet")):
+        build_profiles(s_fix["baseline"], s_fix["media_catalog"], s_prof_dir)
+    t0 = time.perf_counter()
+    score_res = score_documents(
+        s_fix["documents"],
+        os.path.join(s_prof_dir, "profiles.parquet"),
+        os.path.join(s_prof_dir, "media_bloom.bin"),
+        os.path.join(s_cache, f"score_{NUM_CPUS}"),
+        resume=False,
+    )
+    t_score = time.perf_counter() - t0
+    timings["flagship_score"] = round(t_score, 3)
+    scored_docs_per_sec = score_res["n_docs"] / t_score
+
     # count validated docs (current table incl. twins)
     import pyarrow.parquet as pq
 
@@ -129,6 +149,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "validated_docs": n_validated,
         "validated_docs_per_sec": round(docs_per_sec, 1),
+        "scored_docs": score_res["n_docs"],
+        "scored_docs_per_sec": round(scored_docs_per_sec, 1),
     }
     ray.shutdown()
     return out
