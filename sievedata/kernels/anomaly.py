@@ -7,7 +7,7 @@ check rather than a remit-account lookup.
 """
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any
 
 import numpy as np
 

@@ -8,7 +8,7 @@ weight 0.1, max common prefix 4 — the textbook/rapidfuzz defaults).
 """
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Iterable
 
 
 def _jaro(s1: str, s2: str) -> float:

@@ -20,7 +20,6 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from sievedata.kernels.model import FEATURE_ORDER, train_logistic
 from sievedata.pipelines.score import PairScorer, _explode_candidates
