@@ -872,6 +872,77 @@ FROM embeddings
 """
 
 
+def q_line_sum_check(sf_dir: str, pct_tol: float = 0.5):
+    """DQ-001-style line-sum reconciliation (requirements.md:243-245): flag
+    orders whose lineitem revenue sum deviates from o_totalprice by more than
+    ``pct_tol`` (fractional).  Aggregate → broadcast → filter."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    sums = (
+        _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_extendedprice", alias_name="line_sum"))
+        .to_pandas()
+    )
+    sums_ref = ray.put(dict(zip(sums["l_orderkey"].astype(int), sums["line_sum"])))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ls = ray.get(sums_ref)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        totals = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        lsum = np.array([ls.get(int(k), 0.0) for k in keys])
+        dev = np.abs(lsum - totals) / np.maximum(np.abs(totals), 1.0)
+        keep = dev > pct_tol
+        out = t.filter(pa.array(keep)).select(["o_orderkey", "o_totalprice"])
+        return out.append_column("line_sum", pa.array(np.round(lsum[keep], 2)))
+
+    return _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+SQL_LINE_SUM_CHECK = """
+WITH s AS (SELECT l_orderkey, sum(l_extendedprice) AS line_sum FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderkey, o_totalprice, round(coalesce(line_sum, 0), 2) AS line_sum
+FROM orders LEFT JOIN s ON o_orderkey = l_orderkey
+WHERE abs(coalesce(line_sum, 0) - o_totalprice) / greatest(abs(o_totalprice), 1.0) > 0.5
+"""
+
+
+def q_running_total(sf_dir: str):
+    """Per-customer running order total (ordered cumulative window) — the
+    streaming-shaped cumulative idiom: bucket shuffle → within-group sorted
+    cumsum, vectorized per bucket."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % n_buckets))
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        df["running_total"] = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum().round(2)
+        return df[["o_custkey", "o_orderkey", "running_total"]].reset_index(drop=True)
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+        .select_columns(["o_custkey", "o_orderkey", "running_total"])
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
 def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
                    n_centroids: int = 16, n_probe: int = 4):
     """IVF-bucketed ANN (the scale path): k-means coarse quantizer fit on a
@@ -1062,6 +1133,8 @@ _ORACLE = {
     "ann_topk": SQL_ANN_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "line_sum_check": SQL_LINE_SUM_CHECK,
+    "running_total": SQL_RUNNING_TOTAL,
 }
 
 _QUERIES = {
@@ -1087,6 +1160,8 @@ _QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_norms": q_embedding_norms,
     "embedding_near_dups": q_embedding_near_dups,
+    "line_sum_check": q_line_sum_check,
+    "running_total": q_running_total,
     "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
