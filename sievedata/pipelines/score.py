@@ -52,6 +52,10 @@ class ScoreConfig:
     review_threshold: float = 50.0   # app/config.py:33-34 defaults
     hold_threshold: float = 80.0
     n_buckets: int = 128
+    # trained-model artifact (.npz from pipelines/train.py); None → the
+    # reference's fixed fallback weights (the DUP_MODEL_PATH swap,
+    # app/duplicate_model.py:12)
+    model_path: str | None = None
 
 
 def _explode_candidates(batch: pa.Table, n_buckets: int) -> pa.Table:
@@ -198,6 +202,15 @@ _EMPTY_PAIRS = pd.DataFrame(
 
 
 def _make_doc_reducer(cfg: ScoreConfig):
+    if cfg.model_path:
+        from sievedata.pipelines.train import load_trained_model
+
+        weights, bias = load_trained_model(cfg.model_path)
+    else:
+        from sievedata.kernels.model import DEFAULT_BIAS, DEFAULT_WEIGHTS
+
+        weights, bias = DEFAULT_WEIGHTS, DEFAULT_BIAS
+
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Per-doc: dedup candidates (priority order), cap, model scores,
         top-3 context."""
@@ -207,7 +220,9 @@ def _make_doc_reducer(cfg: ScoreConfig):
             ["doc_id", "family_priority", "cand_id"], kind="mergesort"
         ).drop_duplicates(["doc_id", "cand_id"], keep="first")
         df = df.groupby("doc_id", sort=False).head(cfg.candidate_cap).reset_index(drop=True)
-        df["dup_prob"] = predict_dup_prob_matrix(df[_FEAT_COLS].to_numpy(dtype=float))
+        df["dup_prob"] = predict_dup_prob_matrix(
+            df[_FEAT_COLS].to_numpy(dtype=float), weights=weights, bias=bias
+        )
 
         rows = []
         for doc_id, g in df.groupby("doc_id", sort=False):
