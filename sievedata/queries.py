@@ -872,6 +872,63 @@ FROM embeddings
 """
 
 
+def q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
+    """k-NN label prediction: majority label among the top-k cosine
+    neighbors (deterministic tiebreak: higher count, then smaller label).
+    Built on the brute-force broadcast top-k."""
+    import ray
+
+    from sievedata.functions.ann import BruteForceTopK, merge_topk
+
+    qdf = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < n_queries)
+        .to_pandas()
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    queries_ref = ray.put((qids, qm))
+
+    cands = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
+            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        )
+        .to_pandas()
+    )
+    cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    top = merge_topk(cands, k=k)
+
+    labels = _rp(sf_dir, "embeddings", ["vec_id", "label"]).to_pandas()
+    top = top.merge(labels.rename(columns={"vec_id": "neighbor_id"}), on="neighbor_id")
+    counts = (
+        top.groupby(["query_id", "label"]).size().rename("votes").reset_index()
+        .sort_values(["query_id", "votes", "label"], ascending=[True, False, True],
+                     kind="mergesort")
+    )
+    out = counts.groupby("query_id", sort=True).head(1).reset_index(drop=True)
+    return out[["query_id", "label", "votes"]].rename(columns={"label": "pred_label"})
+
+
+SQL_KNN_CLASSIFY = """
+WITH ranked AS (
+  SELECT q.vec_id AS query_id, c.label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+), votes AS (
+  SELECT query_id, label, count(*) AS votes FROM ranked WHERE rank <= 5
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, votes FROM votes
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
+"""
+
+
 def q_line_sum_check(sf_dir: str, pct_tol: float = 0.5):
     """DQ-001-style line-sum reconciliation (requirements.md:243-245): flag
     orders whose lineitem revenue sum deviates from o_totalprice by more than
@@ -1134,6 +1191,7 @@ _ORACLE = {
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "line_sum_check": SQL_LINE_SUM_CHECK,
+    "knn_classify": SQL_KNN_CLASSIFY,
     "running_total": SQL_RUNNING_TOTAL,
 }
 
@@ -1161,6 +1219,7 @@ _QUERIES = {
     "embedding_norms": q_embedding_norms,
     "embedding_near_dups": q_embedding_near_dups,
     "line_sum_check": q_line_sum_check,
+    "knn_classify": q_knn_classify,
     "running_total": q_running_total,
     "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (no SQL equivalent)
