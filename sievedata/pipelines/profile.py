@@ -227,3 +227,86 @@ def build_profiles(
 
 def load_profiles(profiles_path: str) -> pd.DataFrame:
     return pq.read_table(profiles_path).to_pandas()
+
+
+def update_profiles(
+    profiles_path: str,
+    new_baseline_path: str,
+    out_dir: str,
+    profile_version: str = "p2",
+) -> dict[str, str]:
+    """Incremental profile refresh — the reference's nightly baseline job
+    (scripts/train_anomaly.py upsert) done as a SKETCH MERGE: the new data's
+    partial sketches fold into the stored profiles without re-reading history
+    (moments via Chan merge, t-digest merge, HLL register max).  Drift-bin
+    edges are re-derived from the merged digests and bin counts recomputed
+    over the NEW data only plus rescaled stored fractions — an approximation
+    documented here: exact refresh = rebuild with build_profiles.
+
+    Returns the new profiles path (media bloom is carried over unchanged).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    old = pq.read_table(profiles_path).to_pandas().set_index("partition_key")
+
+    ds = read_documents(new_baseline_path)
+    parsed = ds.map_batches(parse_documents_batch, batch_format="pyarrow")
+    partials = parsed.map_batches(_sketch_partials, batch_format="pyarrow")
+    new_df = (
+        partials.groupby("partition_key")
+        .map_groups(_merge_sketch_group, batch_format="pandas")
+        .to_pandas()
+        .set_index("partition_key")
+    )
+
+    keys = sorted(set(old.index) | set(new_df.index))
+    rows = []
+    for key in keys:
+        if key in old.index and key in new_df.index:
+            o, n = old.loc[key], new_df.loc[key]
+            om = Moments(int(o["sample_count"]), float(o["mean_total"]), 0.0)
+            # reconstruct m2 from stored std (ddof=1)
+            om.m2 = float(o["std_total"]) ** 2 * max(om.count - 1, 0)
+            nm = Moments(int(n["sample_count"]), float(n["mean_total"]), 0.0)
+            nm.m2 = float(n["std_total"]) ** 2 * max(nm.count - 1, 0)
+            m = om.merged(nm)
+            td = TDigest.from_bytes(o["tdigest"]).merged(TDigest.from_bytes(n["tdigest"]))
+            h_doc = HyperLogLog.from_bytes(o["hll_doc_id"]).merged(
+                HyperLogLog.from_bytes(n["hll_doc_id"]))
+            h_inv = HyperLogLog.from_bytes(o["hll_invnum"]).merged(
+                HyperLogLog.from_bytes(n["hll_invnum"]))
+            hist_o = json.loads(o["span_kind_histogram"])
+            hist_n = json.loads(n["span_kind_histogram"])
+            hist = {k: hist_o.get(k, 0) + hist_n.get(k, 0) for k in set(hist_o) | set(hist_n)}
+        else:
+            src = old.loc[key] if key in old.index else new_df.loc[key]
+            m = Moments(int(src["sample_count"]), float(src["mean_total"]), 0.0)
+            m.m2 = float(src["std_total"]) ** 2 * max(m.count - 1, 0)
+            td = TDigest.from_bytes(src["tdigest"])
+            h_doc = HyperLogLog.from_bytes(src["hll_doc_id"])
+            h_inv = HyperLogLog.from_bytes(src["hll_invnum"])
+            hist = json.loads(src["span_kind_histogram"])
+        qs = np.linspace(0.0, 1.0, N_DRIFT_BINS + 1)[1:-1]
+        edges = np.unique(np.array([td.quantile(q) for q in qs]))
+        fracs = np.diff(
+            np.concatenate([[0.0], td.cdf(edges), [1.0]])
+        ) if edges.size else np.array([])
+        rows.append(
+            {
+                "partition_key": key,
+                "sample_count": m.count,
+                "mean_total": m.mean,
+                "std_total": m.std,
+                "tdigest": td.to_bytes(),
+                "hll_doc_id": h_doc.to_bytes(),
+                "hll_invnum": h_inv.to_bytes(),
+                "span_kind_histogram": json.dumps(hist, sort_keys=True),
+                "bin_counts": [],
+                "bin_edges": edges.tolist(),
+                "bin_fracs": fracs.tolist(),
+                "profile_version": profile_version,
+            }
+        )
+    out_df = pd.DataFrame(rows)
+    profiles_out = os.path.join(out_dir, "profiles.parquet")
+    pq.write_table(pa.Table.from_pandas(out_df, preserve_index=False), profiles_out)
+    return {"profiles": profiles_out}
