@@ -16,7 +16,11 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-_ENTRY_CACHE = "/tmp/sievedata_entry"
+try:
+    from sievedata.fixtures import FIXTURE_VERSION as _FV
+except Exception:  # pragma: no cover
+    _FV = 0
+_ENTRY_CACHE = f"/tmp/sievedata_entry_v{_FV}"
 
 
 def entry() -> Any:

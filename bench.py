@@ -46,7 +46,8 @@ BENCH_QUERIES = [
 def _fixture_params() -> tuple[str, int, int]:
     name = os.path.basename(os.path.normpath(SF_DIR))
     n_docs, n_vendors = _FIXTURE_SCALE.get(name, (20_000, 200))
-    cache = f"/tmp/sievedata_bench_{name}_{n_docs}"
+    from sievedata.fixtures import FIXTURE_VERSION
+    cache = f"/tmp/sievedata_bench_v{FIXTURE_VERSION}_{name}_{n_docs}"
     return cache, n_docs, n_vendors
 
 
@@ -100,7 +101,8 @@ def run_bench() -> dict:
     # flagship scoring on a compute-bound 10k-doc fixture (cached)
     from sievedata.pipelines.score import score_documents
 
-    s_cache = "/tmp/sievedata_scorebench_10000"
+    from sievedata.fixtures import FIXTURE_VERSION as _FV
+    s_cache = f"/tmp/sievedata_scorebench_v{_FV}_10000"
     s_fix = generate_fixture_ray(s_cache, n_docs=10_000, n_vendors=100, n_shards=32)
     s_prof_dir = os.path.join(s_cache, "profiles")
     if not os.path.exists(os.path.join(s_prof_dir, "profiles.parquet")):
@@ -197,7 +199,8 @@ def run_validate_only() -> dict:
     DataContext.get_current().enable_progress_bars = False
     from sievedata.pipelines.validate import validate_documents
 
-    cache = f"/tmp/sievedata_scaling_{SCALING_DOCS}"
+    from sievedata.fixtures import FIXTURE_VERSION
+    cache = f"/tmp/sievedata_scaling_v{FIXTURE_VERSION}_{SCALING_DOCS}"
     import pyarrow.parquet as pq
 
     n_docs = sum(
@@ -232,7 +235,8 @@ def run_score_only() -> dict:
     DataContext.get_current().enable_progress_bars = False
     from sievedata.pipelines.score import score_documents
 
-    cache = f"/tmp/sievedata_scorescale_{SCORE_SCALING_DOCS}"
+    from sievedata.fixtures import FIXTURE_VERSION
+    cache = f"/tmp/sievedata_scorescale_v{FIXTURE_VERSION}_{SCORE_SCALING_DOCS}"
     _warm_workers()
     t0 = time.perf_counter()
     res = score_documents(
@@ -253,8 +257,10 @@ def run_score_only() -> dict:
 def _prepare_scaling_fixtures() -> None:
     import ray
 
-    v_cache = f"/tmp/sievedata_scaling_{SCALING_DOCS}"
-    s_cache = f"/tmp/sievedata_scorescale_{SCORE_SCALING_DOCS}"
+    from sievedata.fixtures import FIXTURE_VERSION
+
+    v_cache = f"/tmp/sievedata_scaling_v{FIXTURE_VERSION}_{SCALING_DOCS}"
+    s_cache = f"/tmp/sievedata_scorescale_v{FIXTURE_VERSION}_{SCORE_SCALING_DOCS}"
     need_v = not os.path.exists(os.path.join(v_cache, "profiles", "profiles.parquet"))
     need_s = not os.path.exists(os.path.join(s_cache, "profiles", "profiles.parquet"))
     if not (need_v or need_s):

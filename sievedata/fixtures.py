@@ -26,6 +26,8 @@ import pyarrow.parquet as pq
 from sievedata.schema import DOCUMENTS, MEDIA_CATALOG
 
 SEED_DEFAULT = 42
+# bump when generator semantics change so cached fixtures regenerate
+FIXTURE_VERSION = 2
 SIGMA = 0.25
 BASE_DATE = date(2025, 1, 1)
 

@@ -1100,7 +1100,9 @@ def _flagship_fixture(n_docs: int, n_vendors: int) -> dict:
     from sievedata.fixtures import generate_fixture
     from sievedata.pipelines.profile import build_profiles
 
-    cache = f"/tmp/sievedata_flagship_{n_docs}"
+    from sievedata.fixtures import FIXTURE_VERSION
+
+    cache = f"/tmp/sievedata_flagship_v{FIXTURE_VERSION}_{n_docs}"
     marker = os.path.join(cache, "documents.parquet")
     if not os.path.exists(marker):
         generate_fixture(cache, n_docs=n_docs, n_vendors=n_vendors, seed=42)
