@@ -580,7 +580,8 @@ def validate_documents(
             batch_format="pyarrow",
         )
         with commit_dir(checked_dir) as tmp:
-            checked.write_parquet(tmp)
+            # coalesce small blocks → fewer intermediate files at scale
+            checked.write_parquet(tmp, min_rows_per_file=100_000)
     _mark("stage1_checked")
 
     # Stages 2 and 3 both read the narrow intermediate (column-pruned).
@@ -603,7 +604,7 @@ def validate_documents(
             .map_groups(_make_bucket_checker(cfg), batch_format="pandas")
         )
         with commit_dir(violations_dir) as tmp:
-            blocks.write_parquet(tmp)
+            blocks.write_parquet(tmp, min_rows_per_file=100_000)
 
     def _stage3_verdicts() -> pd.DataFrame:
         return (

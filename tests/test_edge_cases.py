@@ -1,0 +1,86 @@
+"""Edge cases: tiny inputs, docs with no profile partition, all-clean data."""
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sievedata.schema import DOCUMENTS
+
+
+def _write_docs(path, docs):
+    from sievedata.fixtures import doc_to_spans
+
+    tbl = pa.Table.from_pydict(
+        {"doc_id": [d["doc_id"] for d in docs],
+         "spans": [doc_to_spans(d) for d in docs]},
+        schema=DOCUMENTS,
+    )
+    pq.write_table(tbl, path)
+
+
+def _mini_doc(doc_id, vendor="V9999", total=100.0, **over):
+    d = {
+        "doc_id": doc_id, "vendor_id": vendor, "vendor_name": "Vendor X",
+        "invoice_number": f"INV-{doc_id}", "invoice_date": "2025-06-01",
+        "currency": "USD", "total": total, "tax_total": 19.0,
+        "po_number": None, "remit_account": None, "remit_name": None,
+        "terms": None,
+        "lines": [{"desc": "paper a4 1", "qty": 1, "unit_price": total,
+                   "amount": total, "sku": ""}],
+        "media_ref": f"media://{doc_id}", "vclass": None,
+    }
+    d.update(over)
+    return d
+
+
+def test_validate_unknown_partition_and_tiny_input(ray_session, t1_tables, tmp_path):
+    """Docs from a partition with NO learned profile: no range/drift checks
+    fire, schema/dup/referential still run, nothing crashes."""
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.validate import validate_documents
+
+    prof = build_profiles(
+        t1_tables["baseline"], t1_tables["media_catalog"], str(tmp_path / "prof")
+    )
+    docs = [_mini_doc(f"X{i}") for i in range(5)]
+    docs.append(_mini_doc("X5", total=-50.0))  # credit note
+    path = str(tmp_path / "mini.parquet")
+    _write_docs(path, docs)
+
+    res = validate_documents(
+        path, prof["profiles"], prof["media_bloom"], str(tmp_path / "run"),
+        resume=False,
+    )
+    vio = pq.read_table(res["violations"]).to_pandas()
+    # every media_ref is unknown to the catalog → BANK_CHANGE on non-credit
+    # and credit docs alike (referential check ignores credit status)
+    assert set(vio["reason_code"]) == {"BANK_CHANGE"}
+    assert len(vio) == 6
+    ver = pq.read_table(res["verdicts"]).to_pandas()
+    mine = ver[ver["partition_key"] == "V9999"].set_index("check_name")
+    assert bool(mine.loc["drift", "passed"]) and mine.loc["drift", "detail"] == "no_profile"
+    assert bool(mine.loc["structure", "passed"]) and mine.loc["structure", "detail"] == "no_profile"
+    assert not bool(mine.loc["referential", "passed"])
+    assert int(mine.loc["schema", "n_docs"]) == 6
+
+
+def test_score_single_doc_no_candidates(ray_session, t1_tables, tmp_path):
+    """A lone document scores with dup_prob 0 (reference: empty top ⇒ 0.0)."""
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.score import score_documents
+
+    prof = build_profiles(
+        t1_tables["baseline"], t1_tables["media_catalog"], str(tmp_path / "prof")
+    )
+    path = str(tmp_path / "one.parquet")
+    _write_docs(path, [_mini_doc("solo")])
+    res = score_documents(
+        path, prof["profiles"], prof["media_bloom"], str(tmp_path / "srun"),
+        resume=False,
+    )
+    dec = pq.read_table(res["decisions"]).to_pandas()
+    assert len(dec) == 1
+    assert dec["dup_prob"].iloc[0] == 0.0
+    assert dec["n_candidates"].iloc[0] == 0
+    # unknown media ref ⇒ bank change ⇒ risk floored at 80 ⇒ HOLD
+    assert dec["decision"].iloc[0] == "HOLD"
+    assert "BANK_CHANGE" in dec["reason_codes"].iloc[0]
