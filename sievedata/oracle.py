@@ -198,9 +198,12 @@ def oracle_validate(
             n_base = max(int(p["sample_count"]), 1)
             noise = cfg.psi_noise_factor * (len(cur_frac) - 1) * (1.0 / max(totals.size, 1) + 1.0 / n_base)
             thresh = max(cfg.psi_threshold, noise)
+            ks = float(np.abs(
+                np.cumsum(np.asarray(p["bin_fracs"], dtype=np.float64)) - np.cumsum(cur_frac)
+            ).max())
             rows.append(
                 (pk, CHECK_DRIFT, bool(val <= thresh), n_docs, 0, float(val),
-                 f"threshold={thresh:.6f}")
+                 f"threshold={thresh:.6f};ks={ks:.6f}")
             )
         # structure: avg spans/doc vs profile span-kind histogram expectation
         import json as _json

@@ -56,6 +56,10 @@ class ScoreConfig:
     # reference's fixed fallback weights (the DUP_MODEL_PATH swap,
     # app/duplicate_model.py:12)
     model_path: str | None = None
+    # per-partition threshold overrides — the reference's vendor-scoped
+    # configs (app/schema.sql:99-107, scope "vendor:{id}" per
+    # implementation.md:344): {partition_key: (review, hold)}
+    threshold_overrides: dict | None = None
 
 
 def _explode_candidates(batch: pa.Table, n_buckets: int) -> pa.Table:
@@ -271,6 +275,7 @@ class FinalizeDecisions:
         self.bloom = BloomFilter.from_bytes(ray.get(bloom_ref))
         self.review_threshold = cfg_dict["review_threshold"]
         self.hold_threshold = cfg_dict["hold_threshold"]
+        self.overrides = cfg_dict.get("threshold_overrides") or {}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from sievedata.kernels.anomaly import anomaly_score_vec
@@ -307,7 +312,18 @@ class FinalizeDecisions:
             merged["dup_prob"].to_numpy(), anom_prob, bank_change,
             merged["text_dup_prob"].to_numpy(),
         )
-        decision = decide_vec(risk, self.review_threshold, self.hold_threshold)
+        # per-partition (vendor-scoped) threshold overrides, vectorized
+        t_rev = merged["partition_key"].map(
+            lambda k: self.overrides.get(k, (self.review_threshold, self.hold_threshold))[0]
+        ).to_numpy()
+        t_hold = merged["partition_key"].map(
+            lambda k: self.overrides.get(k, (self.review_threshold, self.hold_threshold))[1]
+        ).to_numpy()
+        if (t_hold < t_rev).any():
+            raise ValueError("hold_threshold must be >= review_threshold for every scope")
+        decision = np.where(
+            risk >= t_hold, "HOLD", np.where(risk >= t_rev, "REVIEW", "PASS")
+        )
 
         has_top = merged["n_candidates"].to_numpy() > 0
         exact_invnum = has_top & (merged["top_invnum_edit"].fillna(1.0).to_numpy() == 0.0)
@@ -495,7 +511,8 @@ def score_documents(
             _make_finalize_fn(
                 profiles_ref, bloom_ref,
                 {"review_threshold": cfg.review_threshold,
-                 "hold_threshold": cfg.hold_threshold},
+                 "hold_threshold": cfg.hold_threshold,
+                 "threshold_overrides": cfg.threshold_overrides},
             ),
             batch_format="pandas",
         )

@@ -479,9 +479,14 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
             n_cur = max(int(cur_counts.sum()), 1)
             noise = cfg.psi_noise_factor * (len(cur_frac) - 1) * (1.0 / n_cur + 1.0 / n_base)
             thresh = max(cfg.psi_threshold, noise)
+            # binned two-sample KS: sup |cum(profile) − cum(current)| on the
+            # stored bin edges — exact from integer counts on both sides
+            ks = float(np.abs(
+                np.cumsum(np.asarray(prof["bin_fracs"])) - np.cumsum(cur_frac)
+            ).max())
             rows.append(
                 (key, CHECK_DRIFT, bool(val <= thresh), n_docs, 0, float(val),
-                 f"threshold={thresh:.6f}")
+                 f"threshold={thresh:.6f};ks={ks:.6f}")
             )
         # structure verdict: avg spans/doc vs the profile's span-kind
         # histogram expectation (exact integer sums → bit-identical metric)

@@ -84,3 +84,43 @@ def test_score_single_doc_no_candidates(ray_session, t1_tables, tmp_path):
     # unknown media ref ⇒ bank change ⇒ risk floored at 80 ⇒ HOLD
     assert dec["decision"].iloc[0] == "HOLD"
     assert "BANK_CHANGE" in dec["reason_codes"].iloc[0]
+
+
+def test_vendor_scope_threshold_overrides(ray_session, t1_tables, tmp_path):
+    """Vendor-scoped config overrides (reference configs scope vendor:{id}):
+    raising one vendor's thresholds flips its REVIEWs to PASS."""
+    import pandas as pd
+
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.score import ScoreConfig, score_documents
+
+    prof = build_profiles(
+        t1_tables["baseline"], t1_tables["media_catalog"], str(tmp_path / "prof")
+    )
+    base = score_documents(
+        t1_tables["documents"], prof["profiles"], prof["media_bloom"],
+        str(tmp_path / "base"), cfg=ScoreConfig(), resume=False,
+    )
+    dec_base = pq.read_table(base["decisions"]).to_pandas()
+    vendor = "V0003"
+    had_review = dec_base[
+        (dec_base["partition_key"] == vendor) & (dec_base["decision"] == "REVIEW")
+    ]
+    assert len(had_review) > 0
+
+    cfg = ScoreConfig(threshold_overrides={vendor: (99.0, 99.5)})
+    over = score_documents(
+        t1_tables["documents"], prof["profiles"], prof["media_bloom"],
+        str(tmp_path / "over"), cfg=cfg, resume=False,
+    )
+    dec_over = pq.read_table(over["decisions"]).to_pandas().set_index("doc_id")
+    # overridden vendor: scores below 99 now PASS
+    for _, row in had_review.iterrows():
+        if row["risk_score"] < 99.0:
+            assert dec_over.loc[row["doc_id"], "decision"] == "PASS"
+    # other vendors unchanged
+    others_base = dec_base[dec_base["partition_key"] != vendor].set_index("doc_id")
+    others_over = dec_over[dec_over["partition_key"] != vendor]
+    pd.testing.assert_series_equal(
+        others_base["decision"].sort_index(), others_over["decision"].sort_index()
+    )
