@@ -7,12 +7,14 @@ Replaces the reference's nightly vendor-baseline job
 extended per north_rule with t-digest quantiles, HyperLogLog uniqueness
 sketches, span-structure histograms and exact drift-bin fractions:
 
-Phase A  read → map_batches(parse) → per-(block, partition) partial sketches
-         → groupby(partition_key) merge  (shuffles only sketch bytes, never rows)
-Phase B  read → map_batches(parse) → exact per-partition histogram counts on
-         the digest-derived decile edges (broadcast) → groupby sum
-         (gives PSI bin fractions that are exactly reproducible — integer
-         sums are merge-order-insensitive, unlike t-digest centroids)
+One pass: read → map_batches(parse) → per-(block, partition) partial sketches
+→ groupby(partition_key) merge (shuffles only sketch bytes, never rows).
+
+Drift-bin edges are the merged digest's deciles and the expected bin
+fractions its cdf at those edges; BOTH are STORED in the profiles table, so
+the validate pass and the oracle compare against identical numbers — the
+digest's merge-order sensitivity never leaks into verdicts (the stored
+artifact is the contract; the validate side bins with exact integer counts).
 
 Profiles are small (one row per partition) and broadcast to scoring stages
 via ``ray.put``.
@@ -126,29 +128,6 @@ def _merge_sketch_group(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _bin_count_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> pa.Table:
-    """Exact histogram counts per partition on broadcast bin edges."""
-    mask = _eligible_mask(batch)
-    pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
-    totals = np.asarray(batch.column("total").to_numpy(zero_copy_only=False), dtype=np.float64)
-    keys, counts = [], []
-    for key in np.unique(pk[mask]):
-        edges = edges_by_pk.get(str(key))
-        if edges is None:
-            continue
-        sel = mask & (pk == key)
-        binned = np.searchsorted(edges, totals[sel], side="right")
-        c = np.bincount(binned, minlength=len(edges) + 1).astype(np.int64)
-        keys.append(str(key))
-        counts.append(c.tolist())
-    return pa.table(
-        {
-            "partition_key": pa.array(keys, pa.string()),
-            "bin_counts": pa.array(counts, pa.list_(pa.int64())),
-        }
-    )
-
-
 def build_profiles(
     baseline_path: str,
     media_catalog_path: str,
@@ -156,10 +135,10 @@ def build_profiles(
     profile_version: str = PROFILE_VERSION,
     bloom_fp_rate: float = 1e-4,
 ) -> dict[str, str]:
-    """Run the two-phase profile pass; write profiles.parquet + media Bloom."""
+    """Run the single-pass profile pass; write profiles.parquet + media Bloom."""
     os.makedirs(out_dir, exist_ok=True)
 
-    # Phase A: mergeable sketches per partition
+    # single pass: mergeable sketches per partition
     ds = read_documents(baseline_path)
     parsed = ds.map_batches(parse_documents_batch, batch_format="pyarrow")
     partials = parsed.map_batches(_sketch_partials, batch_format="pyarrow")
@@ -168,45 +147,22 @@ def build_profiles(
     )
     prof_df = merged.to_pandas()  # one row per partition — small by design
 
-    # decile edges from each partition's digest (stored, so the validate pass
-    # and the oracle bin with IDENTICAL edges)
-    edges_by_pk: dict[str, np.ndarray] = {}
+    # decile edges + expected fractions from each partition's merged digest.
+    # STORED in the table: validate pass and oracle both compare against
+    # these exact stored numbers (the digest is only the derivation).
+    bin_edges, bin_fracs = [], []
     for _, row in prof_df.iterrows():
         td = TDigest.from_bytes(row["tdigest"])
         qs = np.linspace(0.0, 1.0, N_DRIFT_BINS + 1)[1:-1]
         edges = np.unique(np.array([td.quantile(q) for q in qs]))
-        edges_by_pk[row["partition_key"]] = edges
-
-    # Phase B: exact bin counts on those edges
-    ds2 = read_documents(baseline_path)
-    parsed2 = ds2.map_batches(parse_documents_batch, batch_format="pyarrow")
-    bc = parsed2.map_batches(
-        lambda b: _bin_count_partials(b, edges_by_pk), batch_format="pyarrow"
-    )
-    bc_df = (
-        bc.groupby("partition_key")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "partition_key": [g["partition_key"].iloc[0]],
-                    "bin_counts": [np.sum(np.vstack(g["bin_counts"].to_numpy()), axis=0).tolist()],
-                }
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    prof_df = prof_df.merge(bc_df, on="partition_key", how="left")
-    prof_df["bin_edges"] = prof_df["partition_key"].map(
-        lambda k: edges_by_pk[k].tolist()
-    )
-
-    def fracs(counts):
-        c = np.asarray(counts, dtype=np.float64)
-        s = c.sum()
-        return (c / s).tolist() if s else c.tolist()
-
-    prof_df["bin_fracs"] = prof_df["bin_counts"].map(fracs)
+        if edges.size:
+            fr = np.diff(np.concatenate([[0.0], td.cdf(edges), [1.0]]))
+        else:
+            fr = np.array([])
+        bin_edges.append(edges.tolist())
+        bin_fracs.append(fr.tolist())
+    prof_df["bin_edges"] = bin_edges
+    prof_df["bin_fracs"] = bin_fracs
     prof_df["profile_version"] = profile_version
     prof_df = prof_df.sort_values("partition_key").reset_index(drop=True)
 
@@ -300,7 +256,6 @@ def update_profiles(
                 "hll_doc_id": h_doc.to_bytes(),
                 "hll_invnum": h_inv.to_bytes(),
                 "span_kind_histogram": json.dumps(hist, sort_keys=True),
-                "bin_counts": [],
                 "bin_edges": edges.tolist(),
                 "bin_fracs": fracs.tolist(),
                 "profile_version": profile_version,
