@@ -31,15 +31,21 @@ BENCH_QUERIES = [
     "returnflag_agg",
     "customer_baseline",
     "segment_revenue",
+    "join_native",
     "price_outliers",
     "top_order_per_customer",
     "dup_orders",
+    "line_sum_check",
+    "running_total",
     "token_stats",
     "quality_filter",
     "events_sessions",
     "ann_topk",
+    "ann_ivf_topk",
+    "knn_classify",
+    "embedding_near_dups",
     "minhash_near_dups",
-    "simhash",
+    "simhash_near_dups",
 ]
 
 

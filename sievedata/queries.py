@@ -819,6 +819,74 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     return out
 
 
+def q_simhash_near_dups(sf_dir: str, max_hamming: int = 12, n_tables: int = 4):
+    """SimHash near-dup pairs: 64-bit signatures bucketed by rotated 16-bit
+    prefixes (a pair within Hamming distance d collides in ≥1 of the
+    ``n_tables`` rotations with high probability), Hamming-verified.
+    Approximate by design → rows-only; determinism covered in tests."""
+    import ray
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        from sievedata.functions.text import simhash_column
+
+        sigs = simhash_column(t["text"].to_pylist())
+        ids = [str(x) for x in t["doc_id"].to_pylist()]
+        out_ids, out_tables, out_keys, out_sigs = [], [], [], []
+        for r in range(n_tables):
+            rot = ((sigs << np.uint64(16 * r)) | (sigs >> np.uint64(64 - 16 * r))).astype(np.uint64)
+            prefix = (rot >> np.uint64(48)).astype(np.int64)
+            out_ids.extend(ids)
+            out_tables.extend([r] * len(ids))
+            out_keys.extend(prefix.tolist())
+            out_sigs.extend(sigs.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "table_id": pa.array(out_tables, pa.int32()),
+                "prefix": pa.array(out_keys, pa.int64()),
+                "sig": pa.array(out_sigs, pa.int64()),
+            }
+        )
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from sievedata.functions.text import hamming64
+
+        sizes = df.groupby(["table_id", "prefix"], sort=False)["doc_id"].transform("size")
+        multi = df[sizes >= 2]
+        rows = []
+        for _, g in multi.groupby(["table_id", "prefix"], sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sigs = g["sig"].to_numpy().astype(np.uint64)
+            n = len(g)
+            if n > 200:
+                g = g.head(200)
+                ids, sigs, n = ids[:200], sigs[:200], 200
+            for i in range(n):
+                d = hamming64(np.repeat(sigs[i], n - i - 1), sigs[i + 1:])
+                for off in np.flatnonzero(d <= max_hamming):
+                    rows.append((ids[i], ids[i + 1 + off], int(d[off])))
+        if not rows:
+            return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    out = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "bucket", pa.array((t["prefix"].to_numpy(zero_copy_only=False) % 64).astype(np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: text payloads as opaque binary → actor-pool
     fake-decode feature extraction (functions/media.py; real codecs stubbed)."""
@@ -1229,6 +1297,7 @@ _QUERIES = {
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,
     "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
     "media_features": q_media_features,
     "validate_flagship": q_validate_flagship,
     "score_flagship": q_score_flagship,

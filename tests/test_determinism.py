@@ -7,7 +7,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 ROWS_ONLY = ["lang_id", "fingerprint", "simhash", "minhash_near_dups",
-             "media_features", "ann_ivf_topk"]
+             "simhash_near_dups", "media_features", "ann_ivf_topk"]
 
 
 def _canon(res) -> pd.DataFrame:
