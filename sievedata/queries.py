@@ -379,20 +379,39 @@ def q_price_outliers(sf_dir: str):
     """Per-partition z-score outliers: |x−mean|/std ≥ 2.5 within l_partkey
     (app/anomaly.py:77-87 re-expressed as aggregate → broadcast → filter)."""
     import ray
-    from ray.data.aggregate import Count, Mean, Std
 
-    stats = (
-        _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
-        .groupby("l_partkey")
-        .aggregate(
-            Mean("l_extendedprice", alias_name="m"),
-            Std("l_extendedprice", alias_name="s"),
-            Count(alias_name="c"),
+    # two-level aggregation (the guide's pre-aggregate pattern): per-batch
+    # partial (n, Σx, Σx²) per key — C-speed pandas — then one tiny combine;
+    # ~20× faster than a native multi-aggregate over many groups
+    def partial_stats(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"k": t["l_partkey"].to_numpy(zero_copy_only=False),
+             "x": t["l_extendedprice"].to_numpy(zero_copy_only=False)}
         )
+        df["x2"] = df["x"] * df["x"]
+        g = df.groupby("k", sort=False).agg(n=("x", "size"), sx=("x", "sum"), sx2=("x2", "sum"))
+        return pa.table(
+            {"l_partkey": pa.array(g.index.to_numpy()),
+             "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+             "sx": pa.array(g["sx"].to_numpy()),
+             "sx2": pa.array(g["sx2"].to_numpy())}
+        )
+
+    part = (
+        _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(partial_stats, batch_format="pyarrow")
         .to_pandas()
+        .groupby("l_partkey")
+        .sum()
     )
+    n = part["n"].to_numpy().astype(float)
+    mean = part["sx"].to_numpy() / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = np.where(n > 1, (part["sx2"].to_numpy() - n * mean * mean) / (n - 1), np.nan)
+    std = np.sqrt(np.clip(var, 0, None))
     stats_ref = ray.put(
-        {int(r["l_partkey"]): (float(r["m"]), float(r["s"])) for _, r in stats.iterrows()}
+        {int(k): (float(m), float(sd))
+         for k, m, sd in zip(part.index, mean, std)}
     )
 
     def flag(t: pa.Table) -> pa.Table:
