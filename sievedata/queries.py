@@ -959,6 +959,26 @@ FROM embeddings
 """
 
 
+def q_systematic_sample(sf_dir: str, modulus: int = 20, residue: int = 7):
+    """Deterministic systematic sampling (K4's reproducible-sampling family):
+    key-modulo selection, stable across engines."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((keys % modulus) == residue)).select(
+            ["o_orderkey", "o_totalprice"]
+        )
+
+    return _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 7
+"""
+
+
 def q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
     """k-NN label prediction: majority label among the top-k cosine
     neighbors (deterministic tiebreak: higher count, then smaller label).
@@ -1281,6 +1301,7 @@ _ORACLE = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "line_sum_check": SQL_LINE_SUM_CHECK,
     "knn_classify": SQL_KNN_CLASSIFY,
+    "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     "running_total": SQL_RUNNING_TOTAL,
 }
 
@@ -1309,6 +1330,7 @@ _QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "line_sum_check": q_line_sum_check,
     "knn_classify": q_knn_classify,
+    "systematic_sample": q_systematic_sample,
     "running_total": q_running_total,
     "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (no SQL equivalent)
