@@ -305,7 +305,7 @@ class FinalizeDecisions:
         )
         # credit notes: excluded from the outlier flag (EC-001 guard, as in
         # the validate pass)
-        is_credit = merged["is_credit"].fillna(False).to_numpy(dtype=bool)
+        is_credit = merged["is_credit"].eq(True).to_numpy()  # NaN → False, no downcast warning
         is_outlier = is_outlier & ~is_credit
 
         risk = fuse_scores_vec(
