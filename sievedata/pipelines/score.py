@@ -384,8 +384,13 @@ def _make_pair_scorer_fn(block_group_cap: int, per_doc_window: int = 25):
 
 
 def _make_finalize_fn(profiles_ref, bloom_ref, cfg_dict: dict):
+    cfg_key = (
+        cfg_dict["review_threshold"], cfg_dict["hold_threshold"],
+        tuple(sorted((cfg_dict.get("threshold_overrides") or {}).items())),
+    )
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        key = ("final", profiles_ref.hex(), bloom_ref.hex())
+        key = ("final", profiles_ref.hex(), bloom_ref.hex(), cfg_key)
         inst = _WORKER_CACHE.get(key)
         if inst is None:
             inst = FinalizeDecisions(profiles_ref, bloom_ref, cfg_dict)
