@@ -979,6 +979,36 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 7
 """
 
 
+def q_row_fingerprint(sf_dir: str):
+    """Canonical row content hash (M6 payload-hash family): sha256 over a
+    stable field concatenation — the idempotency/dedup key of the reference's
+    invoice_payload_hash (app/normalization.py:66-70)."""
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        tot = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        digests = [
+            hashlib.sha256(f"{int(k)}|{int(c)}|{x:.2f}".encode()).hexdigest()
+            for k, c, x in zip(keys, cust, tot)
+        ]
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "row_hash": pa.array(digests, pa.string())}
+        )
+
+    return _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+SQL_ROW_FINGERPRINT = """
+SELECT o_orderkey,
+       lower(sha256(o_orderkey || '|' || o_custkey || '|' || printf('%.2f', o_totalprice))) AS row_hash
+FROM orders
+"""
+
+
 def q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
     """k-NN label prediction: majority label among the top-k cosine
     neighbors (deterministic tiebreak: higher count, then smaller label).
@@ -1302,6 +1332,7 @@ _ORACLE = {
     "line_sum_check": SQL_LINE_SUM_CHECK,
     "knn_classify": SQL_KNN_CLASSIFY,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+    "row_fingerprint": SQL_ROW_FINGERPRINT,
     "running_total": SQL_RUNNING_TOTAL,
 }
 
@@ -1331,6 +1362,7 @@ _QUERIES = {
     "line_sum_check": q_line_sum_check,
     "knn_classify": q_knn_classify,
     "systematic_sample": q_systematic_sample,
+    "row_fingerprint": q_row_fingerprint,
     "running_total": q_running_total,
     "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (no SQL equivalent)
