@@ -1009,6 +1009,69 @@ FROM orders
 """
 
 
+def q_dedup_survivors(sf_dir: str):
+    """Exact-dedup SURVIVOR set (hash-partition + per-group first): the kept
+    row per (custkey, status) group — the materialized complement of
+    ``dup_orders``'s flagged rows."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        s_codes = np.array([ord(x[0]) if x else 0 for x in st], dtype=np.int64)
+        return t.append_column("bucket", pa.array((k * 31 + s_codes) % n_buckets))
+
+    def first_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderstatus", "o_orderkey"], kind="mergesort")
+        out = df.groupby(["o_custkey", "o_orderstatus"], sort=False).head(1)
+        return out[["o_custkey", "o_orderstatus", "o_orderkey"]].reset_index(drop=True)
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_orderkey"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_bucket, batch_format="pandas")
+        .select_columns(["o_custkey", "o_orderstatus", "o_orderkey"])
+    )
+
+
+SQL_DEDUP_SURVIVORS = """
+SELECT o_custkey, o_orderstatus, o_orderkey FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderkey) = 1
+"""
+
+
+def q_median_price(sf_dir: str):
+    """Exact per-group median (A3 family) via bucketized groupby — the
+    quantile aggregate the reference computes per matched-pair diffs."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % 64))
+
+    def med_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # discrete median (lower middle element): an exact data value, so no
+        # interpolated .005 midpoints that round differently across engines
+        out = (
+            df.groupby("l_partkey", sort=False)["l_extendedprice"]
+            .quantile(0.5, interpolation="lower").rename("median_price").reset_index()
+        )
+        return out
+
+    return (
+        _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(med_bucket, batch_format="pandas")
+        .select_columns(["l_partkey", "median_price"])
+    )
+
+
+SQL_MEDIAN_PRICE = """
+SELECT l_partkey, quantile_disc(l_extendedprice, 0.5) AS median_price
+FROM lineitem GROUP BY l_partkey
+"""
+
+
 def q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
     """k-NN label prediction: majority label among the top-k cosine
     neighbors (deterministic tiebreak: higher count, then smaller label).
@@ -1333,6 +1396,8 @@ _ORACLE = {
     "knn_classify": SQL_KNN_CLASSIFY,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     "row_fingerprint": SQL_ROW_FINGERPRINT,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "median_price": SQL_MEDIAN_PRICE,
     "running_total": SQL_RUNNING_TOTAL,
 }
 
@@ -1363,6 +1428,8 @@ _QUERIES = {
     "knn_classify": q_knn_classify,
     "systematic_sample": q_systematic_sample,
     "row_fingerprint": q_row_fingerprint,
+    "dedup_survivors": q_dedup_survivors,
+    "median_price": q_median_price,
     "running_total": q_running_total,
     "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (no SQL equivalent)
