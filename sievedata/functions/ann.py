@@ -40,7 +40,10 @@ class BruteForceTopK:
         )
         emb = _normalize(emb)
         sims = self.qm @ emb.T  # (n_queries, batch)
-        k = min(self.k, sims.shape[1])
+        # Select k+1 locally: the batch holding a query's own vector would
+        # otherwise burn one of its k slots on self (sim=1.0), which is only
+        # filtered after the merge — leaving k-1 true neighbors from that batch.
+        k = min(self.k + 1, sims.shape[1])
         top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(sims.shape[0]):

@@ -69,34 +69,50 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_customer_baseline(sf_dir: str):
-    """Per-partition sum/std/count baseline — the reference's vendor amount
-    baseline job (scripts/train_anomaly.py:31) on orders/custkey.
+    """Per-partition sum/sum-of-squares/count baseline — the reference's
+    vendor amount baseline job (scripts/train_anomaly.py:31) on
+    orders/custkey.
 
-    Emits sum_total rather than mean: sums of 2-decimal money values land on
-    the 0.01 grid (far from the 0.005 rounding boundary) regardless of
-    accumulation order, so the driver's value-hash compare is
-    association-order-proof; mean = sum/count is derivable."""
-    from ray.data.aggregate import Count, Std, Sum
+    Emits EXACT integer moments (cents + squared cents): 2-decimal money
+    values land on the integer-cents grid regardless of accumulation order,
+    so the driver's value-hash compare is association-order-proof and
+    immune to stddev ulp/rounding-boundary flips (mean and std are
+    derivable: std² = (Σx² − (Σx)²/n)/(n−1) in cents²)."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pa.array(cents),
+                "cents_sq": pa.array(cents * cents),
+            }
+        )
 
     out = (
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(to_cents, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(
-            Sum("o_totalprice", alias_name="sum_total"),
-            Std("o_totalprice", alias_name="std_total"),
+            Sum("cents", alias_name="sum_cents"),
+            Sum("cents_sq", alias_name="sum_sq_cents"),
             Count(alias_name="sample_count"),
         )
         .to_pandas()
     )
-    out["sum_total"] = out["sum_total"].round(2)
-    out["std_total"] = out["std_total"].fillna(0.0).round(2)
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    out["sum_sq_cents"] = out["sum_sq_cents"].astype("int64")
     return out
 
 
 SQL_CUSTOMER_BASELINE = """
 SELECT o_custkey,
-       round(sum(o_totalprice), 2) AS sum_total,
-       round(coalesce(stddev_samp(o_totalprice), 0), 2) AS std_total,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_sq_cents,
        count(*) AS sample_count
 FROM orders GROUP BY o_custkey
 """
@@ -106,25 +122,49 @@ FROM orders GROUP BY o_custkey
 # Joins: broadcast inner, multi-hop, anti (J1/J3 family)
 # --------------------------------------------------------------------------
 
+# Broadcast-join size guard: a "small side" shipped via ray.put must
+# actually be small.  Above this many rows we fall back to the native
+# hash-partitioned shuffle join (q_join_native pattern) instead of holding
+# an O(rows) python dict on the driver + every worker.
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _factorized_lookup(keys: np.ndarray, mapping: dict) -> pa.Array:
+    """One dict probe per DISTINCT key (np.unique-factorized), not per row."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    vals = np.array([mapping.get(int(k)) for k in uniq], dtype=object)
+    return pa.array(vals[inv].tolist(), pa.string())
+
+
 def q_segment_revenue(sf_dir: str):
-    """Broadcast hash join (small side via ray.put) + grouped aggregate."""
+    """Small-side-broadcast hash join (ray.put once, factorized per-batch
+    lookup) + grouped aggregate; falls back to the native shuffle join when
+    the 'small' side exceeds BROADCAST_MAX_ROWS (size guard — the customer
+    table grows with sf)."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def attach(t: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "c_mktsegment", pa.array([seg.get(k) for k in keys], pa.string())
+    if cust_ds.count() > BROADCAST_MAX_ROWS:  # parquet-metadata count, no scan
+        joined = orders.join(
+            cust_ds, join_type="inner", num_partitions=16,
+            on=("o_custkey",), right_on=("c_custkey",),
         )
+    else:
+        cust = cust_ds.to_pandas()
+        seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+        def attach(t: pa.Table) -> pa.Table:
+            seg = ray.get(seg_ref)
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            return t.append_column("c_mktsegment", _factorized_lookup(keys, seg))
+
+        joined = orders.map_batches(attach, batch_format="pyarrow")
 
     out = (
-        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(attach, batch_format="pyarrow")
-        .groupby("c_mktsegment")
+        joined.groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
         .to_pandas()
     )
@@ -153,7 +193,7 @@ def q_region_customers(sf_dir: str):
     def attach(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
         keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        return t.append_column("r_name", pa.array([lk.get(int(k)) for k in keys], pa.string()))
+        return t.append_column("r_name", _factorized_lookup(keys, lk))
 
     return (
         _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -351,19 +391,27 @@ WHERE n > 1 AND o_orderkey != first_orderkey
 
 
 def q_exact_dedup_docs(sf_dir: str):
-    """Global exact-dup stats on documents.text (M6 content-hash dedup)."""
-    from ray.data.aggregate import Count
+    """Global exact-dup stats on documents.text (M6 content-hash dedup).
 
-    def hash_text(t: pa.Table) -> pa.Table:
-        from sievedata.sketches.hashing import hash64
-
-        h = hash64(t["text"].combine_chunks(), seed=5)
-        return pa.table({"text_hash": pa.array(h.astype(np.int64))})
-
-    ds = _rp(sf_dir, "documents", ["text"]).map_batches(hash_text, batch_format="pyarrow")
+    Distinct-counts the RAW text values (per-block dedup combiner → shuffle
+    groupby → distributed row count), not a 64-bit hash: SQL
+    count(DISTINCT) ignores NULLs and is collision-free, and at 10^12 docs
+    a 64-bit hash space expects real collisions."""
+    ds = _rp(sf_dir, "documents", ["text"])
     n_docs = ds.count()
-    n_distinct = ds.unique("text_hash")
-    return pd.DataFrame({"n_docs": [n_docs], "n_distinct_text": [len(n_distinct)]})
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        distinct = pc.unique(text.drop_null())
+        return pa.table({"text": distinct})
+
+    n_distinct = (
+        ds.map_batches(dedup_block, batch_format="pyarrow")
+        .groupby("text")
+        .count()
+        .count()
+    )
+    return pd.DataFrame({"n_docs": [n_docs], "n_distinct_text": [n_distinct]})
 
 
 SQL_EXACT_DEDUP_DOCS = """
@@ -377,12 +425,17 @@ SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text FROM document
 
 def q_price_outliers(sf_dir: str):
     """Per-partition z-score outliers: |x−mean|/std ≥ 2.5 within l_partkey
-    (app/anomaly.py:77-87 re-expressed as aggregate → broadcast → filter)."""
-    import ray
+    (app/anomaly.py:77-87).  Fully distributed: per-batch partial (n, Σx,
+    Σx²) per key — C-speed pandas combiner — then a native groupby combine
+    (O(distinct keys) rows stay in the cluster, never on the driver), then a
+    hash-partitioned shuffle join of the stats back onto lineitem.
 
-    # two-level aggregation (the guide's pre-aggregate pattern): per-batch
-    # partial (n, Σx, Σx²) per key — C-speed pandas — then one tiny combine;
-    # ~20× faster than a native multi-aggregate over many groups
+    Output emits the exact stored l_extendedprice rather than round(z, 2):
+    z straddles 0.005 rounding boundaries across engines (Ray sum-of-squares
+    vs DuckDB stddev_samp differ in ulps) — the row SELECTION predicate
+    stays on unrounded z."""
+    from ray.data.aggregate import Sum
+
     def partial_stats(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {"k": t["l_partkey"].to_numpy(zero_copy_only=False),
@@ -397,39 +450,42 @@ def q_price_outliers(sf_dir: str):
              "sx2": pa.array(g["sx2"].to_numpy())}
         )
 
-    part = (
+    def finish_stats(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(float)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sx2 = t["sx2"].to_numpy(zero_copy_only=False)
+        mean = sx / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.where(n > 1, (sx2 - n * mean * mean) / (n - 1), np.nan)
+        std = np.sqrt(np.clip(var, 0, None))
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "m": pa.array(mean), "s": pa.array(std)}
+        )
+
+    stats = (
         _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
         .map_batches(partial_stats, batch_format="pyarrow")
-        .to_pandas()
         .groupby("l_partkey")
-        .sum()
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sx2", alias_name="sx2"))
+        .map_batches(finish_stats, batch_format="pyarrow")
     )
-    n = part["n"].to_numpy().astype(float)
-    mean = part["sx"].to_numpy() / n
-    with np.errstate(invalid="ignore", divide="ignore"):
-        var = np.where(n > 1, (part["sx2"].to_numpy() - n * mean * mean) / (n - 1), np.nan)
-    std = np.sqrt(np.clip(var, 0, None))
-    stats_ref = ray.put(
-        {int(k): (float(m), float(sd))
-         for k, m, sd in zip(part.index, mean, std)}
-    )
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"])
+    joined = li.join(stats, join_type="inner", num_partitions=16, on=("l_partkey",))
 
     def flag(t: pa.Table) -> pa.Table:
-        st = ray.get(stats_ref)
-        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
         x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(keys, return_inverse=True)  # one lookup per distinct key
-        m = np.array([st[int(k)][0] for k in uniq])[inv]
-        s = np.array([st[int(k)][1] for k in uniq])[inv]
+        m = t["m"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
         valid = np.isfinite(s) & (s > 0)
         z = np.where(valid, np.abs(x - m) / np.where(valid, s, 1.0), 0.0)
-        keep = z >= 2.5
-        out = t.filter(pa.array(keep)).select(["l_orderkey", "l_linenumber", "l_partkey"])
-        return out.append_column("z", pa.array(np.round(z[keep], 2)))
+        return t.filter(pa.array(z >= 2.5)).select(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"]
+        )
 
-    return _rp(
-        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"]
-    ).map_batches(flag, batch_format="pyarrow")
+    return joined.map_batches(flag, batch_format="pyarrow")
 
 
 SQL_PRICE_OUTLIERS = """
@@ -437,7 +493,7 @@ WITH s AS (
   SELECT l_partkey, avg(l_extendedprice) AS m, stddev_samp(l_extendedprice) AS s
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_orderkey, l_linenumber, l.l_partkey, round(abs(l_extendedprice - m) / s, 2) AS z
+SELECT l_orderkey, l_linenumber, l.l_partkey, l_extendedprice
 FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
 WHERE s IS NOT NULL AND s > 0 AND abs(l_extendedprice - m) / s >= 2.5
 """
@@ -665,8 +721,8 @@ WITH x AS (
   FROM events
 )
 SELECT user_id,
-       1 + sum(CASE WHEN prev_ts IS NOT NULL
-                     AND ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL
+                     AND ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM x GROUP BY user_id
 """
 
@@ -939,10 +995,17 @@ def q_embedding_norms(sf_dir: str):
 
     def norms(t: pa.Table) -> pa.Table:
         emb = t["embedding"].combine_chunks()
-        flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+        # offsets are ABSOLUTE into the values buffer (a sliced ListArray
+        # keeps the parent's buffer) — rebase them before segment sums, and
+        # use a cumsum-difference so empty/trailing-empty lists can't push a
+        # reduceat index past the end of the slice.
         offs = np.asarray(emb.offsets)
-        sq = np.add.reduceat(flat * flat, offs[:-1])
-        sq[np.diff(offs) == 0] = 0.0
+        rel = offs - offs[0]
+        vals = np.asarray(
+            emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+        )[offs[0]:offs[-1]]
+        csum = np.concatenate(([0.0], np.cumsum(vals * vals)))
+        sq = csum[rel[1:]] - csum[rel[:-1]]
         return pa.table(
             {"vec_id": t["vec_id"], "l2_norm": pa.array(np.round(np.sqrt(sq), 4))}
         )
@@ -1132,31 +1195,35 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
 def q_line_sum_check(sf_dir: str, pct_tol: float = 0.5):
     """DQ-001-style line-sum reconciliation (requirements.md:243-245): flag
     orders whose lineitem revenue sum deviates from o_totalprice by more than
-    ``pct_tol`` (fractional).  Aggregate → broadcast → filter."""
-    import ray
+    ``pct_tol`` (fractional).  Distributed groupby-sum → hash-partitioned
+    LEFT OUTER shuffle join onto orders (the per-orderkey sums are O(orders)
+    — never a driver dict / broadcast) → vectorized flag."""
     from ray.data.aggregate import Sum
 
     sums = (
         _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
         .groupby("l_orderkey")
         .aggregate(Sum("l_extendedprice", alias_name="line_sum"))
-        .to_pandas()
     )
-    sums_ref = ray.put(dict(zip(sums["l_orderkey"].astype(int), sums["line_sum"])))
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    joined = orders.join(
+        sums, join_type="left_outer", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
 
     def flag(t: pa.Table) -> pa.Table:
-        ls = ray.get(sums_ref)
-        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
         totals = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        lsum = np.array([ls.get(int(k), 0.0) for k in keys])
+        lsum = np.asarray(
+            t["line_sum"].to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        lsum = np.where(np.isnan(lsum), 0.0, lsum)
         dev = np.abs(lsum - totals) / np.maximum(np.abs(totals), 1.0)
         keep = dev > pct_tol
         out = t.filter(pa.array(keep)).select(["o_orderkey", "o_totalprice"])
         return out.append_column("line_sum", pa.array(np.round(lsum[keep], 2)))
 
-    return _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
-        flag, batch_format="pyarrow"
-    )
+    return joined.map_batches(flag, batch_format="pyarrow")
 
 
 SQL_LINE_SUM_CHECK = """

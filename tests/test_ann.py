@@ -47,6 +47,39 @@ def test_hyperplane_lsh_buckets_similar_vectors():
     assert (s1 == s3).mean() < 0.3
 
 
+def test_bruteforce_single_batch_returns_k_nonself(ray_session):
+    """Regression: when the whole corpus lands in ONE block, the query's own
+    vector (sim=1.0) must not burn one of the k local slots — the stage
+    selects k+1 locally and self is filtered at the merge."""
+    import pandas as pd
+    import ray
+
+    from sievedata.functions.ann import BruteForceTopK, merge_topk
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 20, 8, 5
+    mat = rng.normal(0, 1, (n, dim))
+    queries_ref = ray.put((np.array([0]), mat[:1]))
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"vec_id": pa.array(np.arange(n)),
+         "embedding": pa.array([list(map(float, v)) for v in mat], pa.list_(pa.float64()))}
+    )
+    stage = BruteForceTopK(queries_ref, k=k)
+    cands = stage(batch).to_pandas()
+    cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    out = merge_topk(cands, k=k)
+    assert len(out) == k  # all k non-self neighbors survive the single batch
+
+    # exact match vs numpy brute force
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm[0] @ norm.T
+    sims[0] = -np.inf
+    expect = set(np.argsort(-sims)[:k])
+    assert set(out["neighbor_id"]) == expect
+
+
 def test_simhash_hamming():
     from sievedata.functions.text import hamming64, simhash_column
 
