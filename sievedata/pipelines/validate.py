@@ -628,8 +628,16 @@ def validate_documents(
     part_verdicts = _stage3_verdicts()
     _mark("stage3_partials")
 
-    # Stage 4: assemble verdicts per (partition, check) from violation counts
-    vio = pq.read_table(violations_dir).to_pandas()
+    # Stage 4: assemble verdicts per (partition, check) from violation
+    # counts.  Distributed groupby-count over a pruned 2-column read — the
+    # violations table is O(docs) on pathological data and must never land
+    # on the driver; only O(partitions × reason codes) count rows do.
+    vio_counts = (
+        read_documents(violations_dir, columns=["partition_key", "reason_code"])
+        .groupby(["partition_key", "reason_code"])
+        .count()
+        .to_pandas()
+    )
     n_docs_by_pk = part_verdicts.groupby("partition_key")["n_docs"].max().to_dict()
     check_of_reason = {
         REASON_MISSING_FIELD: CHECK_SCHEMA,
@@ -639,11 +647,12 @@ def validate_documents(
         REASON_BANK_CHANGE: CHECK_REFERENTIAL,
         REASON_UNIT_PRICE_OUTLIER: CHECK_RANGE,
     }
-    vio["check_name"] = vio["reason_code"].map(check_of_reason)
+    n_violations_total = int(vio_counts["count()"].sum()) if len(vio_counts) else 0
+    vio_counts["check_name"] = vio_counts["reason_code"].map(check_of_reason)
     checks = [CHECK_SCHEMA, CHECK_DUPLICATE, CHECK_REFERENTIAL, CHECK_RANGE]
     pivot = (
-        vio.groupby(["partition_key", "check_name"]).size().unstack(fill_value=0)
-        if len(vio)
+        vio_counts.groupby(["partition_key", "check_name"])["count()"].sum().unstack(fill_value=0)
+        if len(vio_counts)
         else pd.DataFrame()
     )
     pivot = pivot.reindex(
@@ -703,6 +712,6 @@ def validate_documents(
         "violations": violations_dir,
         "verdicts": verdicts_path,
         "manifest": manifest_path,
-        "n_violations": int(len(vio)),
+        "n_violations": n_violations_total,
         "n_partitions": len(n_docs_by_pk),
     }

@@ -845,53 +845,80 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
             return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str)})
         return pd.DataFrame(rows, columns=["a", "b"])
 
+    # candidate pairs, deduped DISTRIBUTED: same (a,b) always hashes to the
+    # same pair bucket, so one per-bucket drop_duplicates is global.
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        from sievedata.sketches.hashing import hash64
+
+        combined = pc.binary_join_element_wise(
+            t["a"].combine_chunks(), t["b"].combine_chunks(), "\x1f"
+        )
+        pb = (hash64(combined, seed=71) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("pair_bucket", pa.array(pb))
+
     pairs = (
         _rp(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(sig_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
-        .to_pandas()
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+            batch_format="pandas",
+        )
+        .materialize()  # small: candidate pairs only
     )
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
-    if not len(pairs):
+    if pairs.count() == 0:
         return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str),
                              "jaccard": pd.Series(dtype=float)})
 
-    needed = set(pairs["a"]) | set(pairs["b"])
-    needed_ref = ray.put(needed)
-
+    # exact-Jaccard verification as two hash-partitioned shuffle joins
+    # (pairs ⋈ shingles on a, then on b) — shingle arrays are computed once
+    # per doc in map_batches and only candidate docs survive the inner join;
+    # no driver-side dict of texts/shingles (round-1 scale sin).
     def shingle_sets(t: pa.Table) -> pa.Table:
-        """Sorted shingle-hash array per candidate doc (computed ONCE per
-        doc, distributed; pair verification then intersects sorted arrays)."""
         from sievedata.functions.dedup import shingle_hashes
 
-        wanted = ray.get(needed_ref)
         ids = [str(x) for x in t["doc_id"].to_pylist()]
-        mask = [i in wanted for i in ids]
-        kept_ids = [i for i, m in zip(ids, mask) if m]
-        kept_txt = [x for x, m in zip(t["text"].to_pylist(), mask) if m]
-        arrs = [np.sort(shingle_hashes(x or "")).astype(np.int64).tolist() for x in kept_txt]
+        # serialized (binary) sorted int64 arrays: hash joins don't support
+        # list-typed payload columns, binary payloads shuffle fine
+        arrs = [
+            np.sort(shingle_hashes(x or "")).astype(np.int64).tobytes()
+            for x in t["text"].to_pylist()
+        ]
         return pa.table(
-            {"doc_id": pa.array(kept_ids, pa.string()),
-             "shingles": pa.array(arrs, pa.list_(pa.int64()))}
+            {"doc_id": pa.array(ids, pa.string()),
+             "shingles": pa.array(arrs, pa.binary())}
         )
 
-    sh_df = (
-        _rp(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(shingle_sets, batch_format="pyarrow")
-        .to_pandas()
+    shingles = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        shingle_sets, batch_format="pyarrow"
     )
-    lookup = {d: np.asarray(s, dtype=np.int64) for d, s in zip(sh_df["doc_id"], sh_df["shingles"])}
 
-    def jac(a: str, b: str) -> float:
-        sa, sb = lookup[a], lookup[b]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        return inter / union if union else 1.0
+    joined = pairs.join(
+        shingles, join_type="inner", num_partitions=8,
+        on=("a",), right_on=("doc_id",), right_suffix="_a",
+    ).join(
+        shingles, join_type="inner", num_partitions=8,
+        on=("b",), right_on=("doc_id",), right_suffix="_b",
+    )
 
-    pairs["jaccard"] = np.round([jac(a, b) for a, b in zip(pairs["a"], pairs["b"])], 4)
-    out = pairs[pairs["jaccard"] >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
-    return out
+    def verify(t: pa.Table) -> pa.Table:
+        sa_col = t["shingles"] if "shingles" in t.column_names else t["shingles_a"]
+        sb_col = t["shingles_b"]
+        jac = np.empty(t.num_rows, dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(sa_col.to_pylist(), sb_col.to_pylist())):
+            va = np.frombuffer(sa, dtype=np.int64)
+            vb = np.frombuffer(sb, dtype=np.int64)
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            union = va.size + vb.size - inter
+            jac[i] = inter / union if union else 1.0
+        out = pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(jac, 4))})
+        return out.filter(pa.array(jac >= threshold))
+
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_simhash_near_dups(sf_dir: str, max_hamming: int = 12, n_tables: int = 4):
@@ -1319,37 +1346,110 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     return out[["query_id", "neighbor_id", "rank"]]
 
 
-def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45):
-    """Embedding-cosine near-duplicate pairs: per-batch matmul against the
-    (broadcast) full normalized matrix — the brute-force baseline of the
-    embedding dedup family."""
+def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45, n_clusters: int = 16):
+    """Embedding-cosine near-duplicate pairs ≥ threshold — EXACT, via a
+    cluster-pruned distributed pair join (no full corpus matrix on the
+    driver, no all-pairs broadcast):
+
+    1. k-means coarse clusters (driver fits on a bounded sample; assignment
+       is map_batches) + per-cluster max angular radius (distributed Max).
+    2. angular triangle inequality prunes cluster PAIRS: members of C_i and
+       C_j can only reach angle(x,y) ≥ angle(c_i,c_j) − r_i − r_j, so any
+       cluster pair with that bound above arccos(threshold) is skipped
+       entirely.  Exact — pruning only removes provably-empty pairs.
+    3. each vector is replicated to its cluster's surviving pair groups
+       (shuffle volume = N × avg partners, ≤ N×k, ≪ N²); one vectorized
+       matmul per (c_i, c_j) group emits qualifying (a < b) pairs.
+
+    Unlike LSH candidate generation this cannot miss a pair: at low
+    thresholds (0.45 ≈ 63°) hyperplane-LSH recall is probabilistic, which
+    would flake the driver's exact hash gate.  On clustered real data the
+    radius bound prunes most groups; on uniform random data it degrades to
+    a distributed block-pair brute force — the honest exact baseline."""
     import ray
+    from ray.data.aggregate import Max
 
-    from sievedata.functions.ann import _normalize
+    from sievedata.functions.ann import IVFAssign, _normalize, kmeans_fit
 
-    all_df = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
-    ids = all_df["vec_id"].to_numpy()
-    mat = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]]))
-    mat_ref = ray.put((ids, mat))
+    sample = _rp(sf_dir, "embeddings", ["embedding"]).limit(10000).to_pandas()
+    sm = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    cent = _normalize(kmeans_fit(sm, k=n_clusters))
+    cent_ref = ray.put(cent)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        a_ids_all, m = ray.get(mat_ref)
-        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    assigned = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        IVFAssign, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"centroids_ref": cent_ref},
+    )
+
+    def angle_partial(t: pa.Table) -> pa.Table:
         emb = _normalize(np.asarray(
             [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
         ))
-        sims = emb @ m.T
-        rows_a, rows_b = [], []
-        ai, bj = np.nonzero(sims >= threshold)
-        for i, j in zip(ai, bj):
-            a, b = int(vec_ids[i]), int(a_ids_all[j])
-            if a < b:
-                rows_a.append(a)
-                rows_b.append(b)
-        return pa.table({"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64())})
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        cos_to_cent = np.einsum("ij,ij->i", emb, cent[cl])
+        ang = np.arccos(np.clip(cos_to_cent, -1.0, 1.0))
+        df = pd.DataFrame({"cluster": cl, "ang": ang})
+        g = df.groupby("cluster", sort=False)["ang"].max().reset_index()
+        return pa.table({"cluster": pa.array(g["cluster"].to_numpy()),
+                         "ang": pa.array(g["ang"].to_numpy())})
 
-    return _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        pairs, batch_format="pyarrow"
+    radii_df = (
+        assigned.map_batches(angle_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Max("ang", alias_name="radius"))
+        .to_pandas()  # O(n_clusters) rows
+    )
+    radius = np.zeros(len(cent))
+    radius[radii_df["cluster"].to_numpy()] = radii_df["radius"].to_numpy()
+
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    cang = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
+    k = len(cent)
+    partners: dict[int, list[int]] = {i: [] for i in range(k)}
+    for i in range(k):
+        for j in range(i, k):
+            if cang[i, j] - radius[i] - radius[j] <= theta_t:
+                pair_key = i * k + j
+                partners[i].append(pair_key)
+                if j != i:
+                    partners[j].append(pair_key)
+    partners_ref = ray.put(partners)
+
+    def explode_to_groups(t: pa.Table) -> pa.Table:
+        part = ray.get(partners_ref)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        reps = np.array([len(part[int(c)]) for c in cl])
+        idx = np.repeat(np.arange(len(cl)), reps)
+        group = np.concatenate([part[int(c)] for c in cl]) if len(cl) else np.array([], dtype=np.int64)
+        out = t.select(["vec_id", "embedding", "cluster"]).take(pa.array(idx, pa.int64()))
+        return out.append_column("pair_group", pa.array(group.astype(np.int64)))
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        gkey = int(df["pair_group"].iloc[0])
+        ci, cj = gkey // k, gkey % k
+        emb = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]]))
+        ids = df["vec_id"].to_numpy()
+        cl = df["cluster"].to_numpy()
+        if ci == cj:
+            sims = emb @ emb.T
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a_ids, b_ids = ids[ai], ids[bj]
+        else:
+            mi, mj = cl == ci, cl == cj
+            if not mi.any() or not mj.any():
+                return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+            sims = emb[mi] @ emb[mj].T
+            ai, bj = np.nonzero(sims >= threshold)
+            a_ids, b_ids = ids[mi][ai], ids[mj][bj]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a": lo.astype(np.int64), "b": hi.astype(np.int64)})
+
+    return (
+        assigned.map_batches(explode_to_groups, batch_format="pyarrow")
+        .groupby("pair_group")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .select_columns(["a", "b"])
     )
 
 

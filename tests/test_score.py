@@ -154,7 +154,10 @@ def _oracle_score_vendor(tables, profiles, cfg, vendor: str) -> pd.DataFrame:
         text_dup = max((t[2]["text_cosine"] for t in top), default=0.0)
 
         prow = prof_df.loc[vendor] if vendor in prof_df.index else None
-        bank_change = not bool(bf.contains([f"media://{d['pdf_hash']}"])[0])
+        # no media ref → no referential probe (engine's has_ref guard)
+        bank_change = bool(d["pdf_hash"]) and not bool(
+            bf.contains([f"media://{d['pdf_hash']}"])[0]
+        )
         anom_prob, anom_reasons = anomaly_score(
             d["total_f"],
             float(prow["mean_total"]) if prow is not None else 0.0,
