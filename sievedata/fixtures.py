@@ -8,7 +8,9 @@ rows can be generated independently, in any order, in parallel shards.
 
 Planted violation classes (modulo rules on per-vendor ``seq``, first match
 wins): exact-dup twin (97), near-dup twin (89), out-of-range total (101),
-referential miss (103), missing required field (107), credit note (109);
+referential miss (103), missing required field (107), credit note (109),
+near-dup-text twin (113 — different invoice number/PO/total/pdf, identical
+line descriptions, reachable only via the near-text LSH family);
 drifted partitions: ``vendor_idx % 50 == 7`` (current-table totals drawn with
 ``mu_v + 0.8``).
 """
@@ -27,7 +29,7 @@ from sievedata.schema import DOCUMENTS, MEDIA_CATALOG
 
 SEED_DEFAULT = 42
 # bump when generator semantics change so cached fixtures regenerate
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 SIGMA = 0.25
 BASE_DATE = date(2025, 1, 1)
 
@@ -69,6 +71,8 @@ def violation_class(seq: int) -> str | None:
         return "missing"
     if seq % 109 == 0:
         return "credit"
+    if seq % 113 == 0:
+        return "text"
     return None
 
 
@@ -246,6 +250,31 @@ def make_doc(
         twin["media_ref"] = f"media://{twin_hash}"
         twin["vclass"] = "near_twin"
         del trng
+    elif vclass == "text":
+        # near-dup-TEXT twin (BR-003 retrieval case): identical line
+        # descriptions (→ shingle-Jaccard 1.0) but a DIFFERENT invoice
+        # number, no PO, no remit account, 1.5× total and a different pdf
+        # hash — invisible to every structured block family; only the
+        # near-text LSH path can retrieve it.
+        twin = dict(doc)
+        twin["doc_id"] = doc_id + "~text"
+        twin["invoice_number"] = f"INV-{vendor_idx:04d}-9{seq:06d}"
+        twin["invoice_date"] = (inv_date + timedelta(days=7)).isoformat()
+        twin["po_number"] = None
+        twin["remit_account"] = None
+        f = 1.5
+        twin["lines"] = [
+            {
+                **l,
+                "unit_price": round(l["unit_price"] * f, 4),
+                "amount": round(l["amount"] * f, 2),
+            }
+            for l in doc["lines"]
+        ]
+        twin["total"] = float(np.round(sum(l["amount"] for l in twin["lines"]), 2))
+        twin["tax_total"] = round(twin["total"] * 0.19, 2)
+        twin["media_ref"] = f"media://{_pdf_hash(twin['doc_id'])}"
+        twin["vclass"] = "text_twin"
     return doc, twin
 
 

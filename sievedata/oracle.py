@@ -153,6 +153,55 @@ def oracle_validate(
                         )
                         break
 
+    # ---- near-text duplicate checks (RR-003 Jaccard branch) ------------
+    # Shared definitional primitives (minhash/lsh/shingle hashing) with
+    # independent grouping logic, per this oracle's convention.
+    if cfg.neartext:
+        from sievedata.functions.dedup import (
+            lsh_band_rows, minhash_signature_batch, shingle_hashes,
+        )
+        from sievedata.kernels.normalize import desc_norm
+
+        elig_docs = [d for d in docs if not d["missing"] and not d["is_credit"]]
+        texts = [
+            " ".join(desc_norm(l.split("|")[0]) for l in d["lines"])
+            for d in elig_docs
+        ]
+        shs = {
+            d["doc_id"]: np.sort(shingle_hashes(t or "")).astype(np.int64)
+            for d, t in zip(elig_docs, texts)
+        }
+        pk_of = {d["doc_id"]: d["pk"] for d in elig_docs}
+        pdf_of = {d["doc_id"]: d["pdf_hash"] for d in elig_docs}
+        sigs = minhash_signature_batch(texts)
+        band_tbl = lsh_band_rows(
+            [d["doc_id"] for d in elig_docs], sigs, bands=cfg.neartext_bands
+        ).to_pandas()
+        best: dict[str, tuple[str, float]] = {}
+        for (_b, _h), g in band_tbl.groupby(["band_id", "band_hash"], sort=False):
+            by_pk: dict[str, list[str]] = {}
+            for i in sorted(g["doc_id"].unique()):
+                by_pk.setdefault(pk_of[i], []).append(i)
+            for _pk, ids in by_pk.items():
+                ids = ids[: cfg.pair_scan_cap]
+                for j in range(1, len(ids)):
+                    for i in range(j):
+                        if pdf_of[ids[i]] is not None and pdf_of[ids[i]] == pdf_of[ids[j]]:
+                            continue
+                        sa, sb = shs[ids[i]], shs[ids[j]]
+                        inter = np.intersect1d(sa, sb, assume_unique=True).size
+                        union = sa.size + sb.size - inter
+                        jac = inter / union if union else 1.0
+                        if jac >= cfg.neartext_jaccard:
+                            cur = best.get(ids[j])
+                            if cur is None or ids[i] < cur[0]:
+                                best[ids[j]] = (ids[i], jac)
+                            break
+        for dj, (mi, jac) in best.items():
+            violations.append(
+                (pk_of[dj], dj, REASON_PDF_NEAR_DUP, f"jaccard={jac:.6f};match={mi}")
+            )
+
     vio_df = pd.DataFrame(
         violations, columns=["partition_key", "doc_id", "reason_code", "detail"]
     ).sort_values(["partition_key", "doc_id", "reason_code", "detail"], kind="mergesort").reset_index(drop=True)

@@ -41,14 +41,33 @@ from sievedata.pipelines.checkpoint import commit_dir, stage_done
 from sievedata.sources.storage import read_documents
 from sievedata.stages.score_parse import score_parse_batch
 
-FAMILY_PRIORITY = {"invnum": 0, "po": 1, "amount": 2, "acct": 3}
+# deterministic candidate priority (architecture.md:190-195): rule-hit
+# families first, text neighbors last
+FAMILY_PRIORITY = {"invnum": 0, "po": 1, "amount": 2, "acct": 3, "neartext": 4}
+NEARTEXT_PRIORITY = FAMILY_PRIORITY["neartext"]
 _FEAT_COLS = [f"f_{n}" for n in FEATURE_ORDER]
+
+# RR-003's shingle-Jaccard branch (app/rules.py:35-38): pdf near-dup when
+# hashes match OR text-shingle Jaccard ≥ 0.9.  text_cosine is 3-gram-set
+# Dice, and for sets J = D/(2−D), so the Jaccard threshold is exact.
+PDF_JACCARD_THRESHOLD = 0.9
 
 
 @dataclass
 class ScoreConfig:
-    candidate_cap: int = 50          # per-doc cap (reference default 200, app/retrieval.py:12)
+    candidate_cap: int = 200         # per-doc cap (reference default, app/retrieval.py:12)
     block_group_cap: int = 200       # max docs considered per block group
+    # optional per-doc neighbor window inside a block group (None = all
+    # candidates in the block, the reference's semantics); opt-in bound for
+    # degenerate groups beyond what block_group_cap already caps
+    per_doc_window: int | None = None
+    # near-text LSH block family (BR-003): MinHash band keys over the doc's
+    # normalized line text; candidates are consulted only for docs whose
+    # structured blocks all missed (requirements.md:97)
+    neartext: bool = True
+    neartext_bands: int = 8          # 64 perms / 8 bands → 8-row bands: J≈1
+                                     # twins always collide, random J≲0.5
+                                     # pairs collide <5% of the time
     review_threshold: float = 50.0   # app/config.py:33-34 defaults
     hold_threshold: float = 80.0
     n_buckets: int = 128
@@ -62,8 +81,33 @@ class ScoreConfig:
     threshold_overrides: dict | None = None
 
 
-def _explode_candidates(batch: pa.Table, n_buckets: int) -> pa.Table:
-    """Each eligible doc → one row per present block family (+bucket)."""
+def doc_line_text(lines_col: pa.ChunkedArray | pa.ListArray) -> list[str]:
+    """Per-doc normalized line text (space-joined desc_norm) from the
+    list<struct> lines column — the reference's header+lines text base
+    (app/main.py:291-295)."""
+    lines = lines_col.combine_chunks() if isinstance(lines_col, pa.ChunkedArray) else lines_col
+    flat = lines.flatten().field("desc_norm").to_pylist()
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    texts: list[str] = []
+    pos = 0
+    for c in counts:
+        c = int(c) if c is not None else 0
+        texts.append(" ".join(x or "" for x in flat[pos:pos + c]))
+        pos += c
+    return texts
+
+
+def _explode_candidates(
+    batch: pa.Table, n_buckets: int, neartext: bool = True, neartext_bands: int = 8
+) -> pa.Table:
+    """Each eligible doc → one row per present block family (+bucket).
+
+    With ``neartext``, docs additionally explode into one row per MinHash
+    LSH band (BR-003 / architecture.md:186-188): block_key = band:bandhash,
+    so near-dup text lands in the same block group without any structured
+    key.  Replication cost is ``neartext_bands`` rows per doc for this
+    family — the documented trade for text recall."""
+    from sievedata.functions.dedup import lsh_band_rows, minhash_signature_batch
     from sievedata.sketches.hashing import hash64
 
     mask = pc.and_(
@@ -72,6 +116,22 @@ def _explode_candidates(batch: pa.Table, n_buckets: int) -> pa.Table:
     )
     elig = batch.filter(mask)
     outs = []
+
+    def _with_keys(sub: pa.Table, family: str, block_key: pa.Array) -> pa.Table:
+        combined = pc.binary_join_element_wise(
+            sub.column("partition_key").cast(pa.string()),
+            pa.scalar(family),
+            block_key,
+            "\x1f",
+        )
+        bucket = (
+            hash64(combined.combine_chunks() if isinstance(combined, pa.ChunkedArray) else combined,
+                   seed=53) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        t = sub.append_column("family", pa.array([family] * sub.num_rows, pa.string()))
+        t = t.append_column("block_key", block_key)
+        return t.append_column("bucket", pa.array(bucket))
+
     for family, key_col in (
         ("invnum", "invnum_norm"),
         ("po", "po_number"),
@@ -82,17 +142,22 @@ def _explode_candidates(batch: pa.Table, n_buckets: int) -> pa.Table:
         sub = elig.filter(pc.invert(pc.is_null(keys)))
         if sub.num_rows == 0:
             continue
-        combined = pc.binary_join_element_wise(
-            sub.column("partition_key").cast(pa.string()),
-            pa.scalar(family),
-            sub.column(key_col).cast(pa.string()),
-            "\x1f",
-        )
-        bucket = (hash64(combined.combine_chunks(), seed=53) % np.uint64(n_buckets)).astype(np.int64)
-        t = sub.append_column("family", pa.array([family] * sub.num_rows, pa.string()))
-        t = t.append_column("block_key", sub.column(key_col).cast(pa.string()))
-        t = t.append_column("bucket", pa.array(bucket))
-        outs.append(t)
+        bk = sub.column(key_col).cast(pa.string())
+        outs.append(_with_keys(sub, family, bk.combine_chunks() if isinstance(bk, pa.ChunkedArray) else bk))
+
+    if neartext and elig.num_rows:
+        texts = doc_line_text(elig.column("lines"))
+        sigs = minhash_signature_batch(texts)
+        ids = [str(x) for x in elig.column("doc_id").to_pylist()]
+        band_rows = lsh_band_rows(ids, sigs, bands=neartext_bands)
+        # lsh_band_rows is band-major (band 0: all docs, band 1: all docs, …)
+        idx = np.tile(np.arange(elig.num_rows, dtype=np.int64), neartext_bands)
+        sub = elig.take(pa.array(idx))
+        bi = band_rows["band_id"].to_numpy(zero_copy_only=False)
+        bh = band_rows["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkey_np = np.char.add(np.char.add(bi.astype(np.str_), ":"), bh.astype(np.str_))
+        outs.append(_with_keys(sub, "neartext", pa.array(bkey_np.tolist(), pa.string())))
+
     if not outs:
         empty = batch.slice(0, 0)
         empty = empty.append_column("family", pa.array([], pa.string()))
@@ -104,12 +169,13 @@ def _explode_candidates(batch: pa.Table, n_buckets: int) -> pa.Table:
 class PairScorer:
     """Per-bucket candidate-pair featurizer + scorer.
 
-    ``per_doc_window``: inside one block group each doc only pairs with its
-    nearest neighbors in doc_id order (deterministic), bounding O(n²) on the
-    degenerate big groups (the whole-vendor remit-account family) the way
-    the reference's LIMIT 200 bounds per-request fan-out."""
+    Default (``per_doc_window=None``): every doc pairs with every other doc
+    in its block group — the reference's semantics (all candidates in a
+    block considered, app/retrieval.py:15-30), with block_group_cap as the
+    LIMIT-200 analog.  ``per_doc_window=w`` opts into a doc_id-ordered
+    nearest-neighbor window for degenerate groups."""
 
-    def __init__(self, block_group_cap: int = 200, per_doc_window: int = 25):
+    def __init__(self, block_group_cap: int = 200, per_doc_window: int | None = None):
         self.block_group_cap = block_group_cap
         self.per_doc_window = per_doc_window
         self._dice_cache: dict[tuple[str, str], float] = {}
@@ -169,8 +235,8 @@ class PairScorer:
             prio = FAMILY_PRIORITY[family]
             w = self.per_doc_window
             for i, a in enumerate(docs):
-                lo = max(0, i - w)
-                hi = min(len(docs), i + w + 1)
+                lo = max(0, i - w) if w is not None else 0
+                hi = min(len(docs), i + w + 1) if w is not None else len(docs)
                 for j in range(lo, hi):
                     if i == j:
                         continue
@@ -215,9 +281,20 @@ def _make_doc_reducer(cfg: ScoreConfig):
 
         weights, bias = DEFAULT_WEIGHTS, DEFAULT_BIAS
 
+    import json as _json
+
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Per-doc: dedup candidates (priority order), cap, model scores,
-        top-3 context."""
+        """Per-doc: near-text fallback (BR-003: text neighbors only when
+        every structured block missed), dedup candidates (priority order),
+        cap, model scores, top-3 context + per-match explanations
+        (app/main.py:305-313,342-346)."""
+        if not len(df):
+            return _EMPTY_DOC_SCORES
+        # BR-003 fallback: a doc with ≥1 structured candidate drops its
+        # neartext rows (the reference consults the text LSH index only
+        # when structured retrieval returns nothing)
+        min_prio = df.groupby("doc_id", sort=False)["family_priority"].transform("min")
+        df = df[(df["family_priority"] < NEARTEXT_PRIORITY) | (min_prio >= NEARTEXT_PRIORITY)]
         if not len(df):
             return _EMPTY_DOC_SCORES
         df = df.sort_values(
@@ -233,14 +310,30 @@ def _make_doc_reducer(cfg: ScoreConfig):
             g = g.sort_values(["dup_prob", "cand_id"], ascending=[False, True],
                               kind="mergesort")
             top = g.head(3)
+            matches = [
+                {
+                    "cand_id": r.cand_id,
+                    "similarity": round(float(r.dup_prob), 6),
+                    "features": {
+                        name: round(float(getattr(r, f"f_{name}")), 6)
+                        for name in FEATURE_ORDER
+                    },
+                }
+                for r in top.itertuples(index=False)
+            ]
+            explanations = [
+                {"feature": k, "value": v} for k, v in matches[0]["features"].items()
+            ]
             rows.append(
                 (doc_id, float(top["dup_prob"].iloc[0]),
                  float(top["f_text_cosine"].max()),
-                 ";".join(top["cand_id"]),
+                 _json.dumps(matches, separators=(",", ":")),
+                 _json.dumps(explanations, separators=(",", ":")),
                  float(top["f_invnum_edit"].iloc[0]),
                  float(top["f_same_po"].iloc[0]),
                  float(top["f_days_diff"].iloc[0]),
                  float(top["f_abs_total_diff_pct"].iloc[0]),
+                 float(top["f_text_cosine"].iloc[0]),
                  float(top["pdf_equal"].iloc[0]),
                  int(len(g)))
             )
@@ -250,10 +343,12 @@ def _make_doc_reducer(cfg: ScoreConfig):
 
 
 _DOC_SCORE_COLS = ["doc_id", "dup_prob", "text_dup_prob", "top_matches",
+                   "explanations",
                    "top_invnum_edit", "top_same_po", "top_days_diff",
-                   "top_total_diff_pct", "top_pdf_equal", "n_candidates"]
+                   "top_total_diff_pct", "top_text_cosine", "top_pdf_equal",
+                   "n_candidates"]
 _EMPTY_DOC_SCORES = pd.DataFrame(
-    {c: pd.Series(dtype=("str" if c in ("doc_id", "top_matches") else
+    {c: pd.Series(dtype=("str" if c in ("doc_id", "top_matches", "explanations") else
                          "int64" if c == "n_candidates" else "float64"))
      for c in _DOC_SCORE_COLS}
 )
@@ -291,7 +386,8 @@ class FinalizeDecisions:
         merged["dup_prob"] = merged["dup_prob"].fillna(0.0)
         merged["text_dup_prob"] = merged["text_dup_prob"].fillna(0.0)
         merged["n_candidates"] = merged["n_candidates"].fillna(0).astype(int)
-        merged["top_matches"] = merged["top_matches"].fillna("")
+        merged["top_matches"] = merged["top_matches"].fillna("[]")
+        merged["explanations"] = merged["explanations"].fillna("[]")
 
         # no media span → no referential probe (mirrors PerDocChecks'
         # has_ref mask in validate; an empty ref is a guaranteed Bloom miss,
@@ -337,7 +433,15 @@ class FinalizeDecisions:
             & (merged["top_total_diff_pct"].fillna(1.0).to_numpy() <= 0.005)
             & (merged["top_days_diff"].fillna(9999.0).to_numpy() <= 30)
         )
-        pdf_dup = has_top & (merged["top_pdf_equal"].fillna(0.0).to_numpy() == 1.0)
+        # RR-003 (app/rules.py:35-38): pdf hashes equal OR shingle-Jaccard
+        # ≥ 0.9 against the top match; J = D/(2−D) from the 3-gram Dice the
+        # pair scorer already computed
+        top_tc = merged["top_text_cosine"].fillna(0.0).to_numpy()
+        top_jaccard = top_tc / np.maximum(2.0 - top_tc, 1e-12)
+        pdf_dup = has_top & (
+            (merged["top_pdf_equal"].fillna(0.0).to_numpy() == 1.0)
+            | (top_jaccard >= PDF_JACCARD_THRESHOLD)
+        )
 
         # vectorized ordered masked-concat (code order fixed → the ordered
         # dedup of main.py:326 is a no-op here)
@@ -367,6 +471,7 @@ class FinalizeDecisions:
                 "anom_prob": anom_prob,
                 "n_candidates": merged["n_candidates"],
                 "top_matches": merged["top_matches"],
+                "explanations": merged["explanations"],
             }
         )
 
@@ -374,7 +479,7 @@ class FinalizeDecisions:
 _WORKER_CACHE: dict = {}
 
 
-def _make_pair_scorer_fn(block_group_cap: int, per_doc_window: int = 25):
+def _make_pair_scorer_fn(block_group_cap: int, per_doc_window: int | None = None):
     """PairScorer as a plain task function with one per-worker instance
     (similarity caches persist across tasks; no actor-pool spin-up)."""
 
@@ -412,7 +517,7 @@ _EMPTY_DECISIONS = pd.DataFrame(
         "risk_score": pd.Series(dtype=float), "decision": pd.Series(dtype=str),
         "reason_codes": pd.Series(dtype=str), "dup_prob": pd.Series(dtype=float),
         "anom_prob": pd.Series(dtype=float), "n_candidates": pd.Series(dtype="int64"),
-        "top_matches": pd.Series(dtype=str),
+        "top_matches": pd.Series(dtype=str), "explanations": pd.Series(dtype=str),
     }
 )
 
@@ -480,9 +585,18 @@ def score_documents(
     doc_scores = (
         read_documents(documents_path)
         .map_batches(score_parse_batch, batch_format="pyarrow")
-        .map_batches(lambda b: _explode_candidates(b, cfg.n_buckets), batch_format="pyarrow")
+        .map_batches(
+            lambda b: _explode_candidates(
+                b, cfg.n_buckets, neartext=cfg.neartext,
+                neartext_bands=cfg.neartext_bands,
+            ),
+            batch_format="pyarrow",
+        )
         .groupby("bucket")
-        .map_groups(_make_pair_scorer_fn(cfg.block_group_cap), batch_format="pandas")
+        .map_groups(
+            _make_pair_scorer_fn(cfg.block_group_cap, cfg.per_doc_window),
+            batch_format="pandas",
+        )
         .map_batches(
             lambda t: t.append_column("doc_bucket", doc_bucket(t)), batch_format="pyarrow"
         )
@@ -497,9 +611,11 @@ def score_documents(
         ("total", pa.float64()), ("pdf_hash", pa.string()),
         ("is_credit", pa.bool_()),
         ("dup_prob", pa.float64()), ("text_dup_prob", pa.float64()),
-        ("top_matches", pa.string()), ("top_invnum_edit", pa.float64()),
+        ("top_matches", pa.string()), ("explanations", pa.string()),
+        ("top_invnum_edit", pa.float64()),
         ("top_same_po", pa.float64()), ("top_days_diff", pa.float64()),
-        ("top_total_diff_pct", pa.float64()), ("top_pdf_equal", pa.float64()),
+        ("top_total_diff_pct", pa.float64()), ("top_text_cosine", pa.float64()),
+        ("top_pdf_equal", pa.float64()),
         ("n_candidates", pa.int64()), ("side", pa.string()),
         ("doc_bucket", pa.int64()),
     ]

@@ -76,6 +76,12 @@ class ValidateConfig:
     z_threshold: float = 2.5
     po_pct_tol: float = 0.005
     po_window_days: int = 30
+    # RR-003's Jaccard branch (app/rules.py:35-38): near-dup TEXT detection
+    # via MinHash-LSH band blocking + exact shingle-Jaccard ≥ threshold;
+    # pairs with EQUAL pdf_hash are left to the exact pdf family
+    neartext: bool = True
+    neartext_bands: int = 8
+    neartext_jaccard: float = 0.9
     psi_threshold: float = 0.2
     # sampling-noise floor: E[PSI] ≈ (B−1)(1/n_cur + 1/n_base) under H0
     # (chi-square approximation), so small partitions use an elevated
@@ -409,6 +415,151 @@ _EMPTY_VIOLATIONS_DF = pd.DataFrame(
 )
 
 
+# ---- near-text duplicate detection (RR-003 Jaccard branch) ----------------
+
+def _make_neartext_rows(n_buckets: int, bands: int):
+    """Raw documents → MinHash band rows carrying the doc's shingle set.
+
+    Re-reads the wide input (the narrow checked intermediate drops text);
+    each eligible doc explodes into ``bands`` rows of (partition, band
+    block_key, doc_id, pdf_hash, serialized shingle hashes)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from sievedata.functions.dedup import (
+            lsh_band_rows, minhash_signature_batch, shingle_hashes,
+        )
+        from sievedata.kernels.normalize import desc_norm_array
+        from sievedata.sketches.hashing import hash64
+
+        parsed = parse_documents_batch(batch)
+        mask = pc.and_(
+            pc.equal(parsed["missing_fields"], ""),
+            pc.invert(parsed["is_credit"]),
+        )
+        elig = parsed.filter(mask)
+        n = elig.num_rows
+        if n == 0:
+            return pa.table(
+                {"partition_key": pa.array([], pa.string()),
+                 "block_key": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.string()),
+                 "pdf_hash": pa.array([], pa.string()),
+                 "shingles": pa.array([], pa.binary()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+
+        # per-doc normalized line text from the spans (desc field of '|'-
+        # encoded line spans), same base text as the scoring pipeline
+        spans = elig.column("spans").combine_chunks()
+        counts = np.diff(np.asarray(spans.offsets))
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        values = spans.flatten()
+        kind = np.asarray(values.field("kind").to_numpy(zero_copy_only=False))
+        line_mask = kind == "line"
+        line_parent = parent[line_mask]
+        line_text = values.field("text").take(pa.array(np.flatnonzero(line_mask), pa.int64()))
+        descs = desc_norm_array(pc.list_element(pc.split_pattern(line_text, "|"), 0)).to_pylist()
+        texts = [""] * n
+        buf: dict[int, list[str]] = {}
+        for p, d in zip(line_parent, descs):
+            buf.setdefault(int(p), []).append(d or "")
+        for p, parts_list in buf.items():
+            texts[p] = " ".join(parts_list)
+
+        sigs = minhash_signature_batch(texts)
+        sh_bytes = [
+            np.sort(shingle_hashes(t or "")).astype(np.int64).tobytes() for t in texts
+        ]
+        ids = [str(x) for x in elig.column("doc_id").to_pylist()]
+        band_tbl = lsh_band_rows(ids, sigs, bands=bands)
+        idx = np.tile(np.arange(n, dtype=np.int64), bands)
+        take = pa.array(idx)
+        bi = band_tbl["band_id"].to_numpy(zero_copy_only=False)
+        bh = band_tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkey = np.char.add(np.char.add(bi.astype(np.str_), ":"), bh.astype(np.str_))
+        pk = elig.column("partition_key").take(take)
+        combined = pc.binary_join_element_wise(
+            pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk,
+            pa.array(bkey.tolist(), pa.string()), "\x1f",
+        )
+        bucket = (hash64(combined, seed=43) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "partition_key": pk,
+                "block_key": pa.array(bkey.tolist(), pa.string()),
+                "doc_id": elig.column("doc_id").take(take),
+                "pdf_hash": elig.column("pdf_hash").take(take),
+                "shingles": pa.array([sh_bytes[i] for i in idx], pa.binary()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    return fn
+
+
+def _make_neartext_checker(cfg: ValidateConfig):
+    cap = cfg.pair_scan_cap
+    thresh = cfg.neartext_jaccard
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        """Per (partition, band) group: exact shingle-Jaccard over pairs,
+        flag the later doc with its lowest matching earlier doc.  Emits
+        (pk, doc_id, match_id, jaccard); global per-doc min-match dedup
+        happens in a second doc-keyed shuffle."""
+        rows: list[tuple[str, str, str, float]] = []
+        if not len(df):
+            return _EMPTY_NEARTEXT_DF
+        for (pk, _bk), g in df.groupby(["partition_key", "block_key"], sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort").head(cap)
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].tolist()
+            pdfs = g["pdf_hash"].tolist()
+            shs = [np.frombuffer(b, dtype=np.int64) for b in g["shingles"]]
+            for j in range(1, len(ids)):
+                for i in range(j):
+                    if pdfs[i] is not None and pdfs[i] == pdfs[j]:
+                        continue  # exact pdf family flags these
+                    sa, sb = shs[i], shs[j]
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    union = sa.size + sb.size - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= thresh:
+                        rows.append((pk, ids[j], ids[i], jac))
+                        break
+        if not rows:
+            return _EMPTY_NEARTEXT_DF
+        return pd.DataFrame(rows, columns=["partition_key", "doc_id", "match_id", "jaccard"])
+
+    return check
+
+
+_EMPTY_NEARTEXT_DF = pd.DataFrame(
+    {"partition_key": pd.Series(dtype=str), "doc_id": pd.Series(dtype=str),
+     "match_id": pd.Series(dtype=str), "jaccard": pd.Series(dtype=float)}
+)
+
+
+def _neartext_dedup(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc global dedup (a pair collides in many bands): keep the
+    lowest match_id, format the violation row."""
+    if not len(df):
+        return _EMPTY_VIOLATIONS_DF
+    df = df.sort_values(["doc_id", "match_id"], kind="mergesort")
+    keep = df.groupby("doc_id", sort=False).head(1)
+    return pd.DataFrame(
+        {
+            "partition_key": keep["partition_key"].to_numpy(),
+            "doc_id": keep["doc_id"].to_numpy(),
+            "reason_code": REASON_PDF_NEAR_DUP,
+            "detail": [
+                f"jaccard={j:.6f};match={m}"
+                for j, m in zip(keep["jaccard"], keep["match_id"])
+            ],
+        }
+    )
+
+
 def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> pa.Table:
     """Mergeable per-partition aggregates for drift + uniqueness + counts."""
     pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
@@ -608,6 +759,30 @@ def validate_documents(
             .groupby("bucket")
             .map_groups(_make_bucket_checker(cfg), batch_format="pandas")
         )
+        if cfg.neartext:
+            from sievedata.sketches.hashing import hash64 as _h64
+
+            def _doc_bucket(t: pa.Table) -> pa.Table:
+                b = (_h64(t["doc_id"].combine_chunks(), seed=59)
+                     % np.uint64(cfg.n_dup_buckets)).astype(np.int64)
+                return t.append_column("doc_bucket", pa.array(b))
+
+            neartext = (
+                read_documents(documents_path)
+                .map_batches(
+                    _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands),
+                    batch_format="pyarrow",
+                )
+                .groupby("bucket")
+                .map_groups(_make_neartext_checker(cfg), batch_format="pandas")
+                .map_batches(_doc_bucket, batch_format="pyarrow")
+                .groupby("doc_bucket")
+                .map_groups(_neartext_dedup, batch_format="pandas")
+                .select_columns(["partition_key", "doc_id", "reason_code", "detail"])
+            )
+            blocks = blocks.select_columns(
+                ["partition_key", "doc_id", "reason_code", "detail"]
+            ).union(neartext)
         with commit_dir(violations_dir) as tmp:
             blocks.write_parquet(tmp, min_rows_per_file=100_000)
 

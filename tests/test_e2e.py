@@ -82,6 +82,14 @@ def test_planted_violations_found(t1_run):
     # near twins flagged on the po rule
     nears = vio[vio["doc_id"].str.endswith("~near")]
     assert (nears["reason_code"] == "SAME_PO_NEAR_TOTAL").any()
+    # ~text twins (no shared structured key) flagged via the near-text
+    # LSH + Jaccard branch (RR-003), with the base doc as the match
+    texts = vio[vio["doc_id"].str.endswith("~text")]
+    flagged = texts[texts["reason_code"] == "PDF_NEAR_DUP"]
+    # every ~text twin is caught by the near-text branch (1.5× totals may
+    # additionally trip UNIT_PRICE_OUTLIER — that's correct too)
+    assert set(flagged["doc_id"]) == set(texts["doc_id"]) and len(flagged) > 0
+    assert flagged["detail"].str.startswith("jaccard=1.000000;match=").all()
     # drift vendor fails drift check, most others pass
     ver = pq.read_table(t1_run["result"]["verdicts"]).to_pandas()
     drift = ver[ver["check_name"] == "drift"].set_index("partition_key")

@@ -52,9 +52,14 @@ def test_validate_unknown_partition_and_tiny_input(ray_session, t1_tables, tmp_p
     )
     vio = pq.read_table(res["violations"]).to_pandas()
     # every media_ref is unknown to the catalog → BANK_CHANGE on non-credit
-    # and credit docs alike (referential check ignores credit status)
-    assert set(vio["reason_code"]) == {"BANK_CHANGE"}
-    assert len(vio) == 6
+    # and credit docs alike (referential check ignores credit status);
+    # X0-X4 share identical line text with distinct pdf hashes → the
+    # near-text Jaccard branch flags X1-X4 against X0 (credit X5 excluded)
+    assert set(vio["reason_code"]) == {"BANK_CHANGE", "PDF_NEAR_DUP"}
+    assert (vio["reason_code"] == "BANK_CHANGE").sum() == 6
+    near = vio[vio["reason_code"] == "PDF_NEAR_DUP"]
+    assert sorted(near["doc_id"]) == ["X1", "X2", "X3", "X4"]
+    assert near["detail"].str.endswith("match=X0").all()
     ver = pq.read_table(res["verdicts"]).to_pandas()
     mine = ver[ver["partition_key"] == "V9999"].set_index("check_name")
     assert bool(mine.loc["drift", "passed"]) and mine.loc["drift", "detail"] == "no_profile"

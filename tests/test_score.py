@@ -55,6 +55,24 @@ def test_planted_twins_held(t1_score):
     assert dec["risk_score"].between(0, 100).all()
 
 
+def test_text_twins_retrieved_via_lsh(t1_score):
+    """Planted ~text twins share NO structured block key with their base doc
+    (different invnum/PO/total/pdf) — only the near-text MinHash-LSH family
+    (BR-003) can retrieve them — and RR-003's Jaccard branch must flag them
+    as PDF_NEAR_DUP (identical line text → shingle-Jaccard 1.0 ≥ 0.9)."""
+    import json
+
+    dec = t1_score["decisions"]
+    texts = dec[dec["doc_id"].str.endswith("~text")]
+    assert len(texts) > 0
+    assert (texts["n_candidates"] > 0).all()
+    assert texts["reason_codes"].str.contains("PDF_NEAR_DUP").all()
+    for _, r in texts.iterrows():
+        tm = json.loads(r["top_matches"])
+        assert tm[0]["cand_id"] == r["doc_id"][: -len("~text")]
+        assert tm[0]["features"]["text_cosine"] == 1.0
+
+
 def _oracle_score_vendor(tables, profiles, cfg, vendor: str) -> pd.DataFrame:
     """Plain-python re-implementation of the batch scoring flow for one
     vendor partition."""
@@ -96,30 +114,52 @@ def _oracle_score_vendor(tables, profiles, cfg, vendor: str) -> pd.DataFrame:
         d["amount_month"] = f"{round(d['total_f'], 2)}|{d['month']}"
         docs.append(d)
 
-    # block groups per family (doc_id sorted, group cap, per-doc window)
+    # block groups per family (doc_id sorted, group cap, ALL pairs in a
+    # block — reference retrieval semantics, app/retrieval.py:15-30)
     fam_keys = [("invnum", "invnum_norm"), ("po", "po_number"),
                 ("amount", "amount_month"), ("acct", "remit_account_hash")]
     eligible = [d for d in docs if not d["is_credit"]]
     cand: dict[str, list[tuple[int, str]]] = {}
+
+    def _pair_members(members, fam_idx):
+        members = sorted(members, key=lambda x: x["doc_id"])[: cfg.block_group_cap]
+        for i, a in enumerate(members):
+            for j, b in enumerate(members):
+                if i != j:
+                    cand.setdefault(a["doc_id"], []).append((fam_idx, b["doc_id"]))
+
     for fam_idx, (fam, key) in enumerate(fam_keys):
         groups: dict[str, list[dict]] = {}
         for d in eligible:
             if d.get(key) is not None:
                 groups.setdefault(str(d[key]), []).append(d)
         for members in groups.values():
-            members = sorted(members, key=lambda x: x["doc_id"])[: cfg.block_group_cap]
-            w = 25
-            for i, a in enumerate(members):
-                for j in range(max(0, i - w), min(len(members), i + w + 1)):
-                    if i != j:
-                        cand.setdefault(a["doc_id"], []).append(
-                            (fam_idx, members[j]["doc_id"])
-                        )
+            _pair_members(members, fam_idx)
+
+    # near-text LSH family (BR-003): MinHash band groups over line_text —
+    # shared definitional primitives (minhash_signature_batch/lsh_band_rows),
+    # independent grouping logic
+    if cfg.neartext:
+        from sievedata.functions.dedup import lsh_band_rows, minhash_signature_batch
+
+        NEARTEXT_IDX = 4
+        sigs = minhash_signature_batch([d["line_text"] for d in eligible])
+        band_tbl = lsh_band_rows(
+            [d["doc_id"] for d in eligible], sigs, bands=cfg.neartext_bands
+        ).to_pandas()
+        by_id_elig = {d["doc_id"]: d for d in eligible}
+        for (_bid, _bh), g in band_tbl.groupby(["band_id", "band_hash"], sort=False):
+            ids = g["doc_id"].unique().tolist()
+            if len(ids) >= 2:
+                _pair_members([by_id_elig[i] for i in ids], NEARTEXT_IDX)
 
     by_id = {d["doc_id"]: d for d in docs}
     rows = []
     for d in docs:
         pairs = sorted(set(cand.get(d["doc_id"], [])))
+        # BR-003 fallback: text neighbors only when every structured block missed
+        if any(f < 4 for f, _ in pairs):
+            pairs = [(f, c) for f, c in pairs if f < 4]
         seen = set()
         kept = []
         for fam_idx, cid in pairs:
@@ -153,6 +193,18 @@ def _oracle_score_vendor(tables, profiles, cfg, vendor: str) -> pd.DataFrame:
         dup_prob = top[0][1] if top else 0.0
         text_dup = max((t[2]["text_cosine"] for t in top), default=0.0)
 
+        import json
+        from sievedata.kernels.model import FEATURE_ORDER
+
+        if top:
+            feats0 = {n: round(float(top[0][2].get(n, 0.0)), 6) for n in FEATURE_ORDER}
+            expl = json.dumps(
+                [{"feature": k, "value": v} for k, v in feats0.items()],
+                separators=(",", ":"),
+            )
+        else:
+            expl = "[]"
+
         prow = prof_df.loc[vendor] if vendor in prof_df.index else None
         # no media ref → no referential probe (engine's has_ref guard)
         bank_change = bool(d["pdf_hash"]) and not bool(
@@ -178,7 +230,9 @@ def _oracle_score_vendor(tables, profiles, cfg, vendor: str) -> pd.DataFrame:
             if (f0["same_po"] == 1.0 and f0["abs_total_diff_pct"] <= 0.005
                     and f0["days_diff"] <= 30):
                 codes.append("SAME_PO_NEAR_TOTAL")
-            if f0["pdf_equal"] == 1.0:
+            tc = f0["text_cosine"]
+            jac = tc / max(2.0 - tc, 1e-12)  # set Dice → Jaccard
+            if f0["pdf_equal"] == 1.0 or jac >= 0.9:
                 codes.append("PDF_NEAR_DUP")
         if bank_change:
             codes.append("BANK_CHANGE")
@@ -186,11 +240,11 @@ def _oracle_score_vendor(tables, profiles, cfg, vendor: str) -> pd.DataFrame:
             codes.append("UNIT_PRICE_OUTLIER")
         rows.append(
             (d["doc_id"], vendor, round(risk, 2), decision,
-             ",".join(dict.fromkeys(codes)), len(kept))
+             ",".join(dict.fromkeys(codes)), len(kept), expl)
         )
     return pd.DataFrame(
         rows, columns=["doc_id", "partition_key", "risk_score", "decision",
-                       "reason_codes", "n_candidates"]
+                       "reason_codes", "n_candidates", "explanations"]
     ).sort_values("doc_id").reset_index(drop=True)
 
 
@@ -203,14 +257,16 @@ def test_score_matches_oracle_one_vendor(t1_score):
         t1_score["decisions"]
         .loc[lambda d: d["partition_key"] == vendor,
              ["doc_id", "partition_key", "risk_score", "decision",
-              "reason_codes", "n_candidates"]]
+              "reason_codes", "n_candidates", "explanations"]]
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
     assert len(engine) == len(oracle)
     pd.testing.assert_frame_equal(
-        engine[["doc_id", "decision", "reason_codes", "n_candidates"]],
-        oracle[["doc_id", "decision", "reason_codes", "n_candidates"]],
+        engine[["doc_id", "decision", "reason_codes", "n_candidates",
+                "explanations"]],
+        oracle[["doc_id", "decision", "reason_codes", "n_candidates",
+                "explanations"]],
     )
     np.testing.assert_allclose(
         engine["risk_score"], oracle["risk_score"], rtol=0, atol=1e-9
