@@ -110,6 +110,26 @@ class IVFAssign:
         return batch.append_column("cluster", pa.array(cluster))
 
 
+_ASSIGN_CACHE: dict = {}
+
+
+def make_ivf_assign_fn(centroids_ref):
+    """IVFAssign as a plain task fn with one cached instance per worker —
+    reuses Ray's warm worker pool instead of paying actor-pool spin-up for
+    each of the (short) executions that consume the assignment."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = centroids_ref.hex()
+        inst = _ASSIGN_CACHE.get(key)
+        if inst is None:
+            inst = IVFAssign(centroids_ref)
+            _ASSIGN_CACHE.clear()
+            _ASSIGN_CACHE[key] = inst
+        return inst(batch)
+
+    return fn
+
+
 def ivf_probe_clusters(
     query_matrix: np.ndarray, centroids: np.ndarray, n_probe: int
 ) -> np.ndarray:

@@ -97,6 +97,24 @@ def lsh_band_rows(
     )
 
 
+def lsh_band_arrays(sigs: np.ndarray, bands: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized band explode: (band_id int32, band_hash uint64) arrays of
+    length bands×n, band-major — same mixing as ``lsh_band_rows`` (callers
+    relying on identical grouping can use either), no python list building."""
+    n, num_perm = sigs.shape
+    rows_per_band = num_perm // bands
+    band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+    hashes = np.empty(bands * n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(rows_per_band):
+                h = h * np.uint64(1099511628211) + chunk[:, c]
+            hashes[b * n : (b + 1) * n] = h
+    return band_ids, hashes
+
+
 def candidate_pairs_from_band(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
     """All unordered doc pairs within one (band_id, band_hash) bucket,
     doc_id-sorted, capped (like the reference's BR-004 fan-out cap)."""

@@ -157,9 +157,7 @@ def oracle_validate(
     # Shared definitional primitives (minhash/lsh/shingle hashing) with
     # independent grouping logic, per this oracle's convention.
     if cfg.neartext:
-        from sievedata.functions.dedup import (
-            lsh_band_rows, minhash_signature_batch, shingle_hashes,
-        )
+        from sievedata.functions.dedup import lsh_band_rows, minhash_signature_batch
         from sievedata.kernels.normalize import desc_norm
 
         elig_docs = [d for d in docs if not d["missing"] and not d["is_credit"]]
@@ -167,13 +165,10 @@ def oracle_validate(
             " ".join(desc_norm(l.split("|")[0]) for l in d["lines"])
             for d in elig_docs
         ]
-        shs = {
-            d["doc_id"]: np.sort(shingle_hashes(t or "")).astype(np.int64)
-            for d, t in zip(elig_docs, texts)
-        }
         pk_of = {d["doc_id"]: d["pk"] for d in elig_docs}
         pdf_of = {d["doc_id"]: d["pdf_hash"] for d in elig_docs}
         sigs = minhash_signature_batch(texts)
+        sig_of = {d["doc_id"]: sigs[i] for i, d in enumerate(elig_docs)}
         band_tbl = lsh_band_rows(
             [d["doc_id"] for d in elig_docs], sigs, bands=cfg.neartext_bands
         ).to_pandas()
@@ -188,10 +183,9 @@ def oracle_validate(
                     for i in range(j):
                         if pdf_of[ids[i]] is not None and pdf_of[ids[i]] == pdf_of[ids[j]]:
                             continue
-                        sa, sb = shs[ids[i]], shs[ids[j]]
-                        inter = np.intersect1d(sa, sb, assume_unique=True).size
-                        union = sa.size + sb.size - inter
-                        jac = inter / union if union else 1.0
+                        # MinHash slot-agreement estimate of shingle Jaccard
+                        # (same estimator as the engine's checker)
+                        jac = float((sig_of[ids[i]] == sig_of[ids[j]]).mean())
                         if jac >= cfg.neartext_jaccard:
                             cur = best.get(ids[j])
                             if cur is None or ids[i] < cur[0]:

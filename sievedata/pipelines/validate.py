@@ -67,8 +67,31 @@ from sievedata.stages.parse import parse_documents_batch
 CHECKED_COLUMNS = [
     "doc_id", "partition_key", "invnum_norm", "pdf_hash", "po_number",
     "total", "invoice_date", "missing_fields", "is_credit", "n_spans",
-    "bank_change", "amount_z", "is_outlier", "eligible",
+    "bank_change", "amount_z", "is_outlier", "eligible", "neartext_sig",
 ]
+
+
+def _batch_line_texts(batch: pa.Table) -> list[str]:
+    """Per-doc normalized line text (space-joined desc_norm of '|'-encoded
+    line spans) — the near-text similarity base, computed once in stage 1."""
+    from sievedata.kernels.normalize import desc_norm_array
+
+    n = batch.num_rows
+    spans = batch.column("spans").combine_chunks()
+    counts = np.diff(np.asarray(spans.offsets))
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    values = spans.flatten()
+    kind = np.asarray(values.field("kind").to_numpy(zero_copy_only=False))
+    line_mask = kind == "line"
+    line_text = values.field("text").take(pa.array(np.flatnonzero(line_mask), pa.int64()))
+    descs = desc_norm_array(pc.list_element(pc.split_pattern(line_text, "|"), 0)).to_pylist()
+    texts = [""] * n
+    buf: dict[int, list[str]] = {}
+    for p, d in zip(parent[line_mask], descs):
+        buf.setdefault(int(p), []).append(d or "")
+    for p, parts_list in buf.items():
+        texts[p] = " ".join(parts_list)
+    return texts
 
 
 @dataclass
@@ -157,6 +180,17 @@ class PerDocChecks:
         out = out.append_column("amount_z", pa.array(z))
         out = out.append_column("is_outlier", pa.array(is_outlier))
         out = out.append_column("eligible", pa.array(eligible))
+        # MinHash signature over the normalized line text (512 B/doc), the
+        # near-text index column: computed ONCE here so stage 2's near-text
+        # pass reads only the narrow intermediate (no second parse of the
+        # wide spans input)
+        from sievedata.functions.dedup import minhash_signature_batch
+
+        sigs = minhash_signature_batch(_batch_line_texts(batch))
+        out = out.append_column(
+            "neartext_sig",
+            pa.array([sigs[i].tobytes() for i in range(n)], pa.binary()),
+        )
         return out
 
 
@@ -418,78 +452,54 @@ _EMPTY_VIOLATIONS_DF = pd.DataFrame(
 # ---- near-text duplicate detection (RR-003 Jaccard branch) ----------------
 
 def _make_neartext_rows(n_buckets: int, bands: int):
-    """Raw documents → MinHash band rows carrying the doc's shingle set.
+    """Checked rows → MinHash band rows (narrow read; the signature was
+    computed in stage 1 and stored in the intermediate).  Each eligible doc
+    explodes into ``bands`` rows of (partition, band block_key, doc_id,
+    pdf_hash, signature).
 
-    Re-reads the wide input (the narrow checked intermediate drops text);
-    each eligible doc explodes into ``bands`` rows of (partition, band
-    block_key, doc_id, pdf_hash, serialized shingle hashes)."""
+    Verification downstream is MinHash-signature slot agreement — RR-003's
+    own formulation ("MinHash signatures shall approximate shingle
+    Jaccard", architecture.md:188): identical texts still give exactly 1.0.
+    """
 
     def fn(batch: pa.Table) -> pa.Table:
-        from sievedata.functions.dedup import (
-            lsh_band_rows, minhash_signature_batch, shingle_hashes,
-        )
-        from sievedata.kernels.normalize import desc_norm_array
+        from sievedata.functions.dedup import lsh_band_arrays
         from sievedata.sketches.hashing import hash64
 
-        parsed = parse_documents_batch(batch)
-        mask = pc.and_(
-            pc.equal(parsed["missing_fields"], ""),
-            pc.invert(parsed["is_credit"]),
-        )
-        elig = parsed.filter(mask)
+        elig = batch.filter(batch.column("eligible"))
         n = elig.num_rows
         if n == 0:
             return pa.table(
                 {"partition_key": pa.array([], pa.string()),
-                 "block_key": pa.array([], pa.string()),
+                 "band_id": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.string()),
                  "pdf_hash": pa.array([], pa.string()),
-                 "shingles": pa.array([], pa.binary()),
+                 "sig": pa.array([], pa.binary()),
                  "bucket": pa.array([], pa.int64())}
             )
 
-        # per-doc normalized line text from the spans (desc field of '|'-
-        # encoded line spans), same base text as the scoring pipeline
-        spans = elig.column("spans").combine_chunks()
-        counts = np.diff(np.asarray(spans.offsets))
-        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
-        values = spans.flatten()
-        kind = np.asarray(values.field("kind").to_numpy(zero_copy_only=False))
-        line_mask = kind == "line"
-        line_parent = parent[line_mask]
-        line_text = values.field("text").take(pa.array(np.flatnonzero(line_mask), pa.int64()))
-        descs = desc_norm_array(pc.list_element(pc.split_pattern(line_text, "|"), 0)).to_pylist()
-        texts = [""] * n
-        buf: dict[int, list[str]] = {}
-        for p, d in zip(line_parent, descs):
-            buf.setdefault(int(p), []).append(d or "")
-        for p, parts_list in buf.items():
-            texts[p] = " ".join(parts_list)
-
-        sigs = minhash_signature_batch(texts)
-        sh_bytes = [
-            np.sort(shingle_hashes(t or "")).astype(np.int64).tobytes() for t in texts
-        ]
-        ids = [str(x) for x in elig.column("doc_id").to_pylist()]
-        band_tbl = lsh_band_rows(ids, sigs, bands=bands)
+        sig_col = elig.column("neartext_sig").combine_chunks()
+        sigs = np.frombuffer(
+            b"".join(sig_col.to_pylist()), dtype=np.uint64
+        ).reshape(n, -1)
+        band_ids, band_hashes = lsh_band_arrays(sigs, bands=bands)
         idx = np.tile(np.arange(n, dtype=np.int64), bands)
         take = pa.array(idx)
-        bi = band_tbl["band_id"].to_numpy(zero_copy_only=False)
-        bh = band_tbl["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bkey = np.char.add(np.char.add(bi.astype(np.str_), ":"), bh.astype(np.str_))
-        pk = elig.column("partition_key").take(take)
-        combined = pc.binary_join_element_wise(
-            pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk,
-            pa.array(bkey.tolist(), pa.string()), "\x1f",
-        )
-        bucket = (hash64(combined, seed=43) % np.uint64(n_buckets)).astype(np.int64)
+        # bucket = f(full group key): per-doc pk hash tiled band-major
+        pk_col = elig.column("partition_key").combine_chunks()
+        pk_h = np.tile(hash64(pk_col, seed=43), bands)
+        with np.errstate(over="ignore"):
+            mix = (band_hashes * np.uint64(31) + band_ids.astype(np.uint64)) ^ pk_h
+        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
         return pa.table(
             {
-                "partition_key": pk,
-                "block_key": pa.array(bkey.tolist(), pa.string()),
+                "partition_key": pk_col.take(take),
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(band_hashes.view(np.int64)),
                 "doc_id": elig.column("doc_id").take(take),
                 "pdf_hash": elig.column("pdf_hash").take(take),
-                "shingles": pa.array([sh_bytes[i] for i in idx], pa.binary()),
+                "sig": sig_col.take(take),
                 "bucket": pa.array(bucket),
             }
         )
@@ -502,31 +512,50 @@ def _make_neartext_checker(cfg: ValidateConfig):
     thresh = cfg.neartext_jaccard
 
     def check(df: pd.DataFrame) -> pd.DataFrame:
-        """Per (partition, band) group: exact shingle-Jaccard over pairs,
+        """Per (partition, band) group: MinHash-estimated Jaccard (slot
+        agreement fraction, vectorized against all earlier members at once),
         flag the later doc with its lowest matching earlier doc.  Emits
         (pk, doc_id, match_id, jaccard); global per-doc min-match dedup
         happens in a second doc-keyed shuffle."""
         rows: list[tuple[str, str, str, float]] = []
         if not len(df):
             return _EMPTY_NEARTEXT_DF
-        for (pk, _bk), g in df.groupby(["partition_key", "block_key"], sort=False):
-            g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort").head(cap)
-            if len(g) < 2:
+        # drop singleton groups VECTORIZED before any per-group work: python
+        # group iteration costs ~0.3 ms/group and singletons are ~95% of
+        # groups; then dedupe/sort/cap once over the whole bucket and walk
+        # groups by numpy boundary slices (the check_bucket po-path idiom)
+        grp_cols = ["partition_key", "band_id", "band_hash"]
+        sizes = df.groupby(grp_cols, sort=False)["doc_id"].transform("size")
+        df = df[sizes >= 2]
+        if not len(df):
+            return _EMPTY_NEARTEXT_DF
+        df = df.drop_duplicates(grp_cols + ["doc_id"]).sort_values(
+            grp_cols + ["doc_id"], kind="mergesort"
+        )
+        df = df[df.groupby(grp_cols, sort=False).cumcount() < cap]
+        codes = df.groupby(grp_cols, sort=False).ngroup().to_numpy()
+        ids = df["doc_id"].to_numpy()
+        pks = df["partition_key"].to_numpy()
+        pdfs = df["pdf_hash"].to_numpy()
+        sig = np.frombuffer(b"".join(df["sig"]), dtype=np.uint64).reshape(len(df), -1)
+        boundaries = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(df)]])
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
                 continue
-            ids = g["doc_id"].tolist()
-            pdfs = g["pdf_hash"].tolist()
-            shs = [np.frombuffer(b, dtype=np.int64) for b in g["shingles"]]
-            for j in range(1, len(ids)):
-                for i in range(j):
-                    if pdfs[i] is not None and pdfs[i] == pdfs[j]:
-                        continue  # exact pdf family flags these
-                    sa, sb = shs[i], shs[j]
-                    inter = np.intersect1d(sa, sb, assume_unique=True).size
-                    union = sa.size + sb.size - inter
-                    jac = inter / union if union else 1.0
-                    if jac >= thresh:
-                        rows.append((pk, ids[j], ids[i], jac))
-                        break
+            sg = sig[s:e]
+            gp = pdfs[s:e]
+            for j in range(1, m):
+                est = (sg[:j] == sg[j]).mean(axis=1)
+                ok = est >= thresh
+                if gp[j] is not None:
+                    ok &= ~(gp[:j] == gp[j])  # exact pdf family flags these
+                hits = np.flatnonzero(ok)
+                if hits.size:
+                    i = int(hits[0])
+                    rows.append((pks[s + j], ids[s + j], ids[s + i], float(est[i])))
         if not rows:
             return _EMPTY_NEARTEXT_DF
         return pd.DataFrame(rows, columns=["partition_key", "doc_id", "match_id", "jaccard"])
@@ -736,8 +765,12 @@ def validate_documents(
             batch_format="pyarrow",
         )
         with commit_dir(checked_dir) as tmp:
-            # coalesce small blocks → fewer intermediate files at scale
-            checked.write_parquet(tmp, min_rows_per_file=100_000)
+            # NO min_rows_per_file here: write-side file coalescing fuses
+            # with the map stages and collapses the WHOLE stage to
+            # ceil(rows/min_rows) tasks (measured: 3 tasks on 32 cores —
+            # this, not bandwidth, capped round-1 validate scaling).  File
+            # granularity at scale comes from upstream block sizing.
+            checked.write_parquet(tmp)
     _mark("stage1_checked")
 
     # Stages 2 and 3 both read the narrow intermediate (column-pruned).
@@ -759,32 +792,40 @@ def validate_documents(
             .groupby("bucket")
             .map_groups(_make_bucket_checker(cfg), batch_format="pandas")
         )
-        if cfg.neartext:
-            from sievedata.sketches.hashing import hash64 as _h64
-
-            def _doc_bucket(t: pa.Table) -> pa.Table:
-                b = (_h64(t["doc_id"].combine_chunks(), seed=59)
-                     % np.uint64(cfg.n_dup_buckets)).astype(np.int64)
-                return t.append_column("doc_bucket", pa.array(b))
-
-            neartext = (
-                read_documents(documents_path)
-                .map_batches(
-                    _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands),
-                    batch_format="pyarrow",
-                )
-                .groupby("bucket")
-                .map_groups(_make_neartext_checker(cfg), batch_format="pandas")
-                .map_batches(_doc_bucket, batch_format="pyarrow")
-                .groupby("doc_bucket")
-                .map_groups(_neartext_dedup, batch_format="pandas")
-                .select_columns(["partition_key", "doc_id", "reason_code", "detail"])
-            )
-            blocks = blocks.select_columns(
-                ["partition_key", "doc_id", "reason_code", "detail"]
-            ).union(neartext)
+        blocks = blocks.select_columns(
+            ["partition_key", "doc_id", "reason_code", "detail"]
+        )
         with commit_dir(violations_dir) as tmp:
-            blocks.write_parquet(tmp, min_rows_per_file=100_000)
+            # the two branches execute SEQUENTIALLY (two writes into the
+            # same committed dir): concurrent branches of a union contend
+            # for the same CPU pool and thrash (~2× slower, measured)
+            blocks.write_parquet(tmp)
+            if cfg.neartext:
+                from sievedata.sketches.hashing import hash64 as _h64
+
+                def _doc_bucket(t: pa.Table) -> pa.Table:
+                    b = (_h64(t["doc_id"].combine_chunks(), seed=59)
+                         % np.uint64(cfg.n_dup_buckets)).astype(np.int64)
+                    return t.append_column("doc_bucket", pa.array(b))
+
+                neartext = (
+                    read_documents(
+                        checked_dir,
+                        columns=["doc_id", "partition_key", "pdf_hash",
+                                 "eligible", "neartext_sig"],
+                    )
+                    .map_batches(
+                        _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands),
+                        batch_format="pyarrow",
+                    )
+                    .groupby("bucket")
+                    .map_groups(_make_neartext_checker(cfg), batch_format="pandas")
+                    .map_batches(_doc_bucket, batch_format="pyarrow")
+                    .groupby("doc_bucket")
+                    .map_groups(_neartext_dedup, batch_format="pandas")
+                    .select_columns(["partition_key", "doc_id", "reason_code", "detail"])
+                )
+                neartext.write_parquet(tmp)
 
     def _stage3_verdicts() -> pd.DataFrame:
         return (

@@ -462,17 +462,61 @@ def q_price_outliers(sf_dir: str):
             {"l_partkey": t["l_partkey"], "m": pa.array(mean), "s": pa.array(std)}
         )
 
-    stats = (
-        _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
-        .map_batches(partial_stats, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-                   Sum("sx2", alias_name="sx2"))
-        .map_batches(finish_stats, batch_format="pyarrow")
+    partials = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]).map_batches(
+        partial_stats, batch_format="pyarrow"
     )
 
     li = _rp(sf_dir, "lineitem",
              ["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"])
+
+    # the key domain is the part dimension table: PROVABLY small when the
+    # parquet-metadata row count says so → combine the per-block partials in
+    # ONE worker task (repartition(1): O(#parts × blocks) rows move to a
+    # worker, never the driver; ~7× cheaper than the native hash aggregate
+    # at this cardinality) and broadcast the finished O(#parts) stats.
+    # Otherwise: native shuffle aggregate + shuffle join (the scale path).
+    if _rp(sf_dir, "part", ["p_partkey"]).count() <= BROADCAST_MAX_ROWS:
+        import ray
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("l_partkey").sum()
+            n = g["n"].to_numpy().astype(float)
+            mean = g["sx"].to_numpy() / n
+            with np.errstate(invalid="ignore", divide="ignore"):
+                var = np.where(n > 1, (g["sx2"].to_numpy() - n * mean * mean) / (n - 1), np.nan)
+            return pd.DataFrame(
+                {"l_partkey": g.index.to_numpy(), "m": mean,
+                 "s": np.sqrt(np.clip(var, 0, None))}
+            )
+
+        sdf = (
+            partials.repartition(1)
+            .map_batches(combine, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+        st_ref = ray.put(
+            {int(k): (m, s) for k, m, s in zip(sdf["l_partkey"], sdf["m"], sdf["s"])}
+        )
+
+        def flag_bcast(t: pa.Table) -> pa.Table:
+            st = ray.get(st_ref)
+            keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+            x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            m = np.array([st[int(k)][0] for k in uniq])[inv]
+            s = np.array([st[int(k)][1] for k in uniq])[inv]
+            valid = np.isfinite(s) & (s > 0)
+            z = np.where(valid, np.abs(x - m) / np.where(valid, s, 1.0), 0.0)
+            return t.filter(pa.array(z >= 2.5))
+
+        return li.map_batches(flag_bcast, batch_format="pyarrow")
+
+    stats = (
+        partials.groupby("l_partkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sx2", alias_name="sx2"))
+        .map_batches(finish_stats, batch_format="pyarrow")
+    )
     joined = li.join(stats, join_type="inner", num_partitions=16, on=("l_partkey",))
 
     def flag(t: pa.Table) -> pa.Table:
@@ -673,6 +717,9 @@ def q_events_hourly(sf_dir: str):
         .to_pandas()
     )
     out["sum_value"] = out["sum_value"].round(2)
+    # µs resolution to match DuckDB's date_trunc dtype exactly
+    # (floor_temporal preserves the source's timestamp[s] unit)
+    out["hour"] = out["hour"].astype("datetime64[us]")
     return out
 
 
@@ -874,19 +921,30 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
                              "jaccard": pd.Series(dtype=float)})
 
     # exact-Jaccard verification as two hash-partitioned shuffle joins
-    # (pairs ⋈ shingles on a, then on b) — shingle arrays are computed once
-    # per doc in map_batches and only candidate docs survive the inner join;
-    # no driver-side dict of texts/shingles (round-1 scale sin).
+    # (pairs ⋈ shingles on a, then on b).  The candidate-ID set is
+    # output-sized (O(pairs), COUNTED small above) so it broadcasts to
+    # prune shingle computation to candidate docs only; the shingle ARRAYS
+    # themselves never touch the driver (round-1 scale sin).  If the
+    # candidate set ever exceeds the guard, skip the pruning broadcast and
+    # shingle the full corpus streaming — the joins stay identical.
+    prune_ref = None
+    if pairs.count() <= 200_000:
+        pdf_ids = pairs.to_pandas()
+        prune_ref = ray.put(set(pdf_ids["a"]) | set(pdf_ids["b"]))
+
     def shingle_sets(t: pa.Table) -> pa.Table:
         from sievedata.functions.dedup import shingle_hashes
 
         ids = [str(x) for x in t["doc_id"].to_pylist()]
+        txts = t["text"].to_pylist()
+        if prune_ref is not None:
+            wanted = ray.get(prune_ref)
+            keep = [i for i, d in enumerate(ids) if d in wanted]
+            ids = [ids[i] for i in keep]
+            txts = [txts[i] for i in keep]
         # serialized (binary) sorted int64 arrays: hash joins don't support
         # list-typed payload columns, binary payloads shuffle fine
-        arrs = [
-            np.sort(shingle_hashes(x or "")).astype(np.int64).tobytes()
-            for x in t["text"].to_pylist()
-        ]
+        arrs = [np.sort(shingle_hashes(x or "")).astype(np.int64).tobytes() for x in txts]
         return pa.table(
             {"doc_id": pa.array(ids, pa.string()),
              "shingles": pa.array(arrs, pa.binary())}
@@ -895,6 +953,53 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     shingles = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         shingle_sets, batch_format="pyarrow"
     )
+
+    def _pair_jaccard(sa: bytes, sb: bytes) -> float:
+        va = np.frombuffer(sa, dtype=np.int64)
+        vb = np.frombuffer(sb, dtype=np.int64)
+        inter = np.intersect1d(va, vb, assume_unique=True).size
+        union = va.size + vb.size - inter
+        return inter / union if union else 1.0
+
+    if prune_ref is not None:
+        # both sides are output-sized (counted small above): one worker-task
+        # cogroup — the lookup dict lives in a REMOTE task, not the driver —
+        # avoids the two hash-join operators' fixed cost on tiny inputs
+        def pad_pairs(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"a": t["a"], "b": t["b"],
+                 "doc_id": pa.nulls(t.num_rows, pa.string()),
+                 "shingles": pa.nulls(t.num_rows, pa.binary())}
+            )
+
+        def pad_sh(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"a": pa.nulls(t.num_rows, pa.string()),
+                 "b": pa.nulls(t.num_rows, pa.string()),
+                 "doc_id": t["doc_id"], "shingles": t["shingles"]}
+            )
+
+        def verify_all(t: pa.Table) -> pa.Table:
+            mask = pc.is_valid(t["doc_id"])
+            sh = t.filter(mask)
+            pr = t.filter(pc.invert(mask))
+            lut = dict(zip(sh["doc_id"].to_pylist(), sh["shingles"].to_pylist()))
+            a_l = pr["a"].to_pylist()
+            b_l = pr["b"].to_pylist()
+            jac = np.array([_pair_jaccard(lut[a], lut[b]) for a, b in zip(a_l, b_l)])
+            out = pa.table(
+                {"a": pr["a"], "b": pr["b"], "jaccard": pa.array(np.round(jac, 4))}
+            )
+            return out.filter(pa.array(jac >= threshold))
+
+        out = (
+            pairs.map_batches(pad_pairs, batch_format="pyarrow")
+            .union(shingles.map_batches(pad_sh, batch_format="pyarrow"))
+            .repartition(1)
+            .map_batches(verify_all, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
 
     joined = pairs.join(
         shingles, join_type="inner", num_partitions=8,
@@ -907,13 +1012,10 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     def verify(t: pa.Table) -> pa.Table:
         sa_col = t["shingles"] if "shingles" in t.column_names else t["shingles_a"]
         sb_col = t["shingles_b"]
-        jac = np.empty(t.num_rows, dtype=np.float64)
-        for i, (sa, sb) in enumerate(zip(sa_col.to_pylist(), sb_col.to_pylist())):
-            va = np.frombuffer(sa, dtype=np.int64)
-            vb = np.frombuffer(sb, dtype=np.int64)
-            inter = np.intersect1d(va, vb, assume_unique=True).size
-            union = va.size + vb.size - inter
-            jac[i] = inter / union if union else 1.0
+        jac = np.array([
+            _pair_jaccard(sa, sb)
+            for sa, sb in zip(sa_col.to_pylist(), sb_col.to_pylist())
+        ])
         out = pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(jac, 4))})
         return out.filter(pa.array(jac >= threshold))
 
@@ -1046,6 +1148,51 @@ SQL_EMBEDDING_NORMS = """
 SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
 FROM embeddings
+"""
+
+
+def q_text_blob(sf_dir: str):
+    """M5 text_blob kernel (app/normalization.py:52-63) as a driver-facing
+    gate: lowercased skip-empty concat of vendor_name + po + terms +
+    per-line sku+desc over synthetic docs built from orders rows (po is
+    NULL for every 3rd key, exercising the skip-empty branch)."""
+    from sievedata.kernels.normalize import text_blob
+
+    def blob(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        custs = t["o_custkey"].to_numpy(zero_copy_only=False)
+        stats = t["o_orderstatus"].to_pylist()
+        prios = t["o_orderpriority"].to_pylist()
+        out = [
+            text_blob(
+                {
+                    "vendor_name": f"Vendor-{s}",
+                    "po_number": None if int(k) % 3 == 0 else f"PO-{int(k)}",
+                    "terms": p,
+                    "line_items": [
+                        {"sku": f"SKU-{int(k) % 100}", "desc": f"Item-{int(c)}"}
+                    ],
+                }
+            )
+            for k, c, s, p in zip(keys, custs, stats, prios)
+        ]
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "blob": pa.array(out, pa.string())}
+        )
+
+    return _rp(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).map_batches(blob, batch_format="pyarrow")
+
+
+SQL_TEXT_BLOB = """
+SELECT o_orderkey,
+       lower(concat_ws(' ', 'Vendor-' || o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'PO-' || o_orderkey END,
+             o_orderpriority,
+             'SKU-' || (o_orderkey % 100),
+             'Item-' || o_custkey)) AS blob
+FROM orders
 """
 
 
@@ -1221,36 +1368,58 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
 
 def q_line_sum_check(sf_dir: str, pct_tol: float = 0.5):
     """DQ-001-style line-sum reconciliation (requirements.md:243-245): flag
-    orders whose lineitem revenue sum deviates from o_totalprice by more than
-    ``pct_tol`` (fractional).  Distributed groupby-sum → hash-partitioned
-    LEFT OUTER shuffle join onto orders (the per-orderkey sums are O(orders)
-    — never a driver dict / broadcast) → vectorized flag."""
-    from ray.data.aggregate import Sum
+    orders whose lineitem revenue sum deviates from o_totalprice by more
+    than ``pct_tol`` (fractional).
 
-    sums = (
-        _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
-        .groupby("l_orderkey")
-        .aggregate(Sum("l_extendedprice", alias_name="line_sum"))
-    )
+    Hash-bucketed COGROUP (the engine's shuffle idiom — one sort shuffle of
+    skinny (bucket, key, value, side) rows, per-bucket pandas sum+merge):
+    per-orderkey sums are O(orders), so no driver dict / broadcast ever
+    exists, and it avoids the native hash-aggregate + hash-join operator
+    pair (~2× slower at this cardinality, measured)."""
+    n_buckets = 64
 
-    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    joined = orders.join(
-        sums, join_type="left_outer", num_partitions=16,
-        on=("o_orderkey",), right_on=("l_orderkey",),
-    )
-
-    def flag(t: pa.Table) -> pa.Table:
-        totals = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        lsum = np.asarray(
-            t["line_sum"].to_numpy(zero_copy_only=False), dtype=np.float64
+    def li_rows(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(k % n_buckets), "key": pa.array(k),
+             "val": t["l_extendedprice"],
+             "side": pa.array(np.zeros(len(k), dtype=np.int8))}
         )
-        lsum = np.where(np.isnan(lsum), 0.0, lsum)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(k % n_buckets), "key": pa.array(k),
+             "val": t["o_totalprice"],
+             "side": pa.array(np.ones(len(k), dtype=np.int8))}
+        )
+
+    def check_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["side"] == 0]
+        orders = df[df["side"] == 1]
+        sums = li.groupby("key", sort=False)["val"].sum()
+        lsum = orders["key"].map(sums).fillna(0.0).to_numpy()
+        totals = orders["val"].to_numpy()
         dev = np.abs(lsum - totals) / np.maximum(np.abs(totals), 1.0)
         keep = dev > pct_tol
-        out = t.filter(pa.array(keep)).select(["o_orderkey", "o_totalprice"])
-        return out.append_column("line_sum", pa.array(np.round(lsum[keep], 2)))
+        return pd.DataFrame(
+            {"o_orderkey": orders["key"].to_numpy()[keep],
+             "o_totalprice": totals[keep],
+             "line_sum": np.round(lsum[keep], 2)}
+        )
 
-    return joined.map_batches(flag, batch_format="pyarrow")
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        li_rows, batch_format="pyarrow"
+    )
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        o_rows, batch_format="pyarrow"
+    )
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(check_bucket, batch_format="pandas")
+        .select_columns(["o_orderkey", "o_totalprice", "line_sum"])
+    )
 
 
 SQL_LINE_SUM_CHECK = """
@@ -1369,16 +1538,17 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45, n_clusters: int 
     import ray
     from ray.data.aggregate import Max
 
-    from sievedata.functions.ann import IVFAssign, _normalize, kmeans_fit
+    from sievedata.functions.ann import _normalize, kmeans_fit, make_ivf_assign_fn
 
     sample = _rp(sf_dir, "embeddings", ["embedding"]).limit(10000).to_pandas()
     sm = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     cent = _normalize(kmeans_fit(sm, k=n_clusters))
     cent_ref = ray.put(cent)
 
+    # plain task fn + worker-cached centroids: this lineage executes twice
+    # (radii pass, explode pass) and actor-pool spin-up would double-pay
     assigned = _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        IVFAssign, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs={"centroids_ref": cent_ref},
+        make_ivf_assign_fn(cent_ref), batch_format="pyarrow"
     )
 
     def angle_partial(t: pa.Table) -> pa.Table:
@@ -1562,6 +1732,7 @@ _ORACLE = {
     "line_sum_check": SQL_LINE_SUM_CHECK,
     "knn_classify": SQL_KNN_CLASSIFY,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+    "text_blob": SQL_TEXT_BLOB,
     "row_fingerprint": SQL_ROW_FINGERPRINT,
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "median_price": SQL_MEDIAN_PRICE,
@@ -1594,6 +1765,7 @@ _QUERIES = {
     "line_sum_check": q_line_sum_check,
     "knn_classify": q_knn_classify,
     "systematic_sample": q_systematic_sample,
+    "text_blob": q_text_blob,
     "row_fingerprint": q_row_fingerprint,
     "dedup_survivors": q_dedup_survivors,
     "median_price": q_median_price,

@@ -6,6 +6,8 @@ sievedata.run ...`` with address taken from the environment):
     python -m sievedata.run profile  --baseline B --catalog C --out DIR
     python -m sievedata.run validate --input I --profiles P --bloom B --run-dir DIR
     python -m sievedata.run score    --input I --profiles P --bloom B --run-dir DIR
+    python -m sievedata.run export   --input I --run-dir DIR --out DIR
+                                     [--vendor V] [--from D] [--to D] [--fmt csv]
     python -m sievedata.run fixture  --out DIR --docs N --vendors V [--ray]
 
 Owns the Ray session (scripts/CLIs init Ray; library code never does).
@@ -41,6 +43,15 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--bloom", required=True)
     ss.add_argument("--run-dir", required=True)
     ss.add_argument("--no-resume", action="store_true")
+
+    se = sub.add_parser("export")
+    se.add_argument("--input", required=True, help="documents path")
+    se.add_argument("--run-dir", required=True, help="score run dir (decisions/)")
+    se.add_argument("--out", required=True)
+    se.add_argument("--vendor", default=None)
+    se.add_argument("--from", dest="date_from", default=None)
+    se.add_argument("--to", dest="date_to", default=None)
+    se.add_argument("--fmt", choices=("parquet", "csv"), default="parquet")
 
     sf = sub.add_parser("fixture")
     sf.add_argument("--out", required=True)
@@ -83,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
             out = score_documents(
                 args.input, args.profiles, args.bloom, args.run_dir,
                 resume=not args.no_resume,
+            )
+        elif args.cmd == "export":
+            from sievedata.pipelines.export import export_decisions
+
+            out = export_decisions(
+                args.input, args.run_dir, args.out, vendor=args.vendor,
+                date_from=args.date_from, date_to=args.date_to, fmt=args.fmt,
             )
         else:
             if args.ray:

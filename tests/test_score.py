@@ -55,6 +55,33 @@ def test_planted_twins_held(t1_score):
     assert dec["risk_score"].between(0, 100).all()
 
 
+def test_pii_stripped_export(t1_score, tmp_path):
+    """S10/RPT-002: the export carries masked/hashed account columns only —
+    raw remit_account, names, and spans never appear."""
+    import os
+
+    from sievedata.pipelines.export import export_decisions
+
+    run_dir = os.path.dirname(t1_score["result"]["decisions"])
+    out = export_decisions(
+        t1_score["tables"]["documents"], run_dir, str(tmp_path / "exp")
+    )
+    exp = pq.read_table(out["out"]).to_pandas()
+    assert len(exp) == len(t1_score["decisions"])
+    assert not {"remit_account", "remit_name", "vendor_name", "spans"} & set(exp.columns)
+    masked = exp["remit_account_masked"].dropna()
+    assert masked.str.match(r"^\*{4}(\d{4})?$").all()
+    assert set(exp["decision"]) <= {"PASS", "REVIEW", "HOLD"}
+
+    # vendor selection
+    out_v = export_decisions(
+        t1_score["tables"]["documents"], run_dir, str(tmp_path / "exp_v"),
+        vendor="V0005",
+    )
+    exp_v = pq.read_table(out_v["out"]).to_pandas()
+    assert (exp_v["partition_key"] == "V0005").all() and len(exp_v) > 0
+
+
 def test_text_twins_retrieved_via_lsh(t1_score):
     """Planted ~text twins share NO structured block key with their base doc
     (different invnum/PO/total/pdf) — only the near-text MinHash-LSH family
