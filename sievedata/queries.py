@@ -27,6 +27,12 @@ def _rp(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# per-worker cache for broadcast lookup dicts (keyed by ObjectRef hex so a
+# new broadcast invalidates the old entry; avoids re-deserializing the dict
+# for every batch a warm worker processes)
+_LUT_CACHE: dict = {}
+
+
 # --------------------------------------------------------------------------
 # Relational core: filter/project/aggregate (M11/A1 family)
 # --------------------------------------------------------------------------
@@ -1091,6 +1097,233 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 12, n_tables: int = 4):
     return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
+    """EXACT char n-gram Jaccard near-dup pairs ≥ num/den — the PPJoin
+    algorithm (Xiao et al., WWW'08: AllPairs prefix filtering + positional
+    and length filters) as three narrow hash-partitioned shuffles; no
+    driver-side corpus state, no O(N²) candidate generation, and (unlike
+    MinHash/SimHash) zero recall loss:
+
+    1. (gram, doc_id, doc_n) rows over each doc's DISTINCT gram set.
+    2. bucket by hash(gram): a gram's rows co-locate, so document frequency
+       df is group-local — annotate rows with df (one shuffle, no extra
+       aggregate + join round trip).
+    3. bucket by doc_id: per-doc ascending (df, gram) order, keep only the
+       first |A| − ⌈t·|A|⌉ + 1 grams (the PREFIX) with their position.  Any
+       pair with J ≥ t provably shares a prefix gram, so pruning loses
+       nothing; prefixes are rare-gram-biased, keeping step-4 fan-out small.
+    4. bucket by hash(gram) again: vectorized candidate pairs from multi-doc
+       prefix gram groups, pruned by the LENGTH filter (t·|B| ≤ |A|) and the
+       POSITIONAL filter (overlap upper bound 1 + min(|A|−pa−1, |B|−pb−1)
+       must reach α = ⌈t/(1+t)·(|A|+|B|)⌉ — a true pair passes at its FIRST
+       shared prefix gram, so per-gram application is safe); then
+       distributed pair dedup (same pair → same pair bucket).
+    5. verify candidates against raw TEXT set ops (no gram hashing → no
+       collision risk vs the SQL oracle); emit INTEGER intersection/union
+       sizes and filter inter·den ≥ num·uni — grid-exact, no float rounding
+       boundary (CLAUDE.md rule); prefix length and α via integer ceil.
+
+    Scale notes: shuffled rows are (5-char gram, int64 doc_id) — ~text-sized
+    in total; a stop-gram never generates pairs unless it survives into a
+    prefix, and even then the positional filter kills pairs that share only
+    late-prefix (common) grams.  Verification touches candidate docs only:
+    their texts broadcast once when provably small, else two hash joins."""
+    import ray
+
+    from sievedata.sketches.hashing import hash64
+
+    n_buckets = 128
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        out_g: list[str] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        for d, tx in zip(ids, txts):
+            if tx is None:  # SQL oracle: WHERE text IS NOT NULL
+                continue
+            grams = {tx[i: i + n] for i in range(max(len(tx) - n + 1, 1))}
+            out_g.extend(grams)
+            out_id.extend([int(d)] * len(grams))
+            out_n.extend([len(grams)] * len(grams))
+        tbl = pa.table(
+            {"gram": pa.array(out_g, pa.string()),
+             "doc_id": pa.array(out_id, pa.int64()),
+             "doc_n": pa.array(out_n, pa.int64())}
+        )
+        gb = (hash64(tbl["gram"].combine_chunks(), seed=37) % np.uint64(n_buckets)).astype(np.int64)
+        return tbl.append_column("gbucket", pa.array(gb))
+
+    def annotate_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["gram", "doc_id", "doc_n"]].copy()
+        out["df"] = out.groupby("gram", sort=False)["doc_id"].transform("size")
+        out["dbucket"] = out["doc_id"].to_numpy() % n_buckets
+        return out
+
+    def prefix_select(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "df", "gram"], kind="mergesort")
+        rank = df.groupby("doc_id", sort=False).cumcount().to_numpy()
+        nn = df["doc_n"].to_numpy()
+        # L = |A| − ⌈t·|A|⌉ + 1, integer ceil (t = num/den — no float ⌈⌉)
+        L = nn - (num * nn + den - 1) // den + 1
+        keep = rank < L
+        out = df.loc[keep, ["gram", "doc_id", "doc_n"]].copy()
+        out["pos"] = rank[keep]
+        return out
+
+    def regram_bucket(t: pa.Table) -> pa.Table:
+        gb = (hash64(t["gram"].combine_chunks(), seed=37) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("gbucket2", pa.array(gb))
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        for _, g in df[sizes >= 2].groupby("gram", sort=False):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            nn = g["doc_n"].to_numpy()
+            pos = g["pos"].to_numpy()
+            i, j = np.triu_indices(len(ids), 1)
+            na, nb = nn[i], nn[j]
+            lo = np.minimum(na, nb)
+            hi = np.maximum(na, nb)
+            alpha = (num * (na + nb) + num + den - 1) // (num + den)
+            ubound = 1 + np.minimum(na - pos[i] - 1, nb - pos[j] - 1)
+            keep = (lo * den >= num * hi) & (ubound >= alpha)
+            out_a.append(ids[i][keep])
+            out_b.append(ids[j][keep])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        pb = ((a * np.int64(1_000_003) + b) % n_buckets).astype(np.int64)
+        return t.append_column("pair_bucket", pa.array(pb))
+
+    pairs = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(annotate_df, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(prefix_select, batch_format="pandas")
+        .map_batches(regram_bucket, batch_format="pyarrow")
+        .groupby("gbucket2")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+            batch_format="pandas",
+        )
+        .materialize()  # candidate pairs only (output-sized)
+    )
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                          for c in ("a", "b", "inter", "uni")})
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return empty
+
+    def _pair_counts(ta: str, tb: str) -> tuple[int, int]:
+        A = {ta[i: i + n] for i in range(max(len(ta) - n + 1, 1))}
+        B = {tb[i: i + n] for i in range(max(len(tb) - n + 1, 1))}
+        inter = len(A & B)
+        return inter, len(A) + len(B) - inter
+
+    texts = _rp(sf_dir, "documents", ["doc_id", "text"])
+    wanted = None
+    if n_pairs <= 200_000:
+        pdf_ids = pairs.to_pandas()  # output-sized (counted small above)
+        wanted = set(pdf_ids["a"]) | set(pdf_ids["b"])
+    if wanted is not None and len(wanted) <= 50_000:
+        # candidate texts are provably small (≤50k docs × ~KB): broadcast
+        # the id→text dict ONCE (ray.put; cached per worker, not re-shipped
+        # per batch) and verify pairs in parallel map_batches — the
+        # verification itself stays distributed, only the small side moves
+        wanted_ref = ray.put(wanted)
+
+        def keep_wanted(t: pa.Table) -> pa.Table:
+            w = ray.get(wanted_ref)
+            keep = [int(d) in w for d in t["doc_id"].to_pylist()]
+            return t.filter(pa.array(keep))
+
+        tdf = texts.map_batches(keep_wanted, batch_format="pyarrow").to_pandas()
+        lut_ref = ray.put(dict(zip(tdf["doc_id"].astype(int), tdf["text"])))
+
+        def verify_batch(t: pa.Table) -> pa.Table:
+            key = lut_ref.hex()
+            lut = _LUT_CACHE.get(key)
+            if lut is None:
+                lut = ray.get(lut_ref)
+                _LUT_CACHE.clear()
+                _LUT_CACHE[key] = lut
+            a_l = [int(x) for x in t["a"].to_pylist()]
+            b_l = [int(x) for x in t["b"].to_pylist()]
+            counts = [_pair_counts(lut[a], lut[b]) for a, b in zip(a_l, b_l)]
+            inter = np.array([c[0] for c in counts], dtype=np.int64)
+            uni = np.array([c[1] for c in counts], dtype=np.int64)
+            keep = inter * den >= num * uni
+            return pa.table(
+                {"a": pa.array(a_l, pa.int64()), "b": pa.array(b_l, pa.int64()),
+                 "inter": pa.array(inter), "uni": pa.array(uni)}
+            ).filter(pa.array(keep))
+
+        out = pairs.map_batches(verify_batch, batch_format="pyarrow").to_pandas()
+    else:
+        joined = pairs.join(
+            texts, join_type="inner", num_partitions=16,
+            on=("a",), right_on=("doc_id",), right_suffix="_a",
+        ).join(
+            texts, join_type="inner", num_partitions=16,
+            on=("b",), right_on=("doc_id",), right_suffix="_b",
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            ta_col = t["text"] if "text" in t.column_names else t["text_a"]
+            counts = [_pair_counts(ta, tb) for ta, tb in
+                      zip(ta_col.to_pylist(), t["text_b"].to_pylist())]
+            inter = np.array([c[0] for c in counts], dtype=np.int64)
+            uni = np.array([c[1] for c in counts], dtype=np.int64)
+            keep = inter * den >= num * uni
+            return pa.table(
+                {"a": t["a"], "b": t["b"],
+                 "inter": pa.array(inter), "uni": pa.array(uni)}
+            ).filter(pa.array(keep))
+
+        out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+
+    if out.empty:
+        return empty
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH nums AS (SELECT i FROM generate_series(1, 10000) t(i)),
+g AS (
+  SELECT doc_id, list(DISTINCT substr(text, i::INT, 5)) AS grams
+  FROM documents JOIN nums ON i <= greatest(length(text) - 4, 1)
+  WHERE text IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT a, b, inter, na + nb - inter AS uni FROM (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+WHERE inter * 5 >= 4 * (na + nb - inter)
+ORDER BY a, b
+"""
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: text payloads as opaque binary → actor-pool
     fake-decode feature extraction (functions/media.py; real codecs stubbed)."""
@@ -1515,6 +1748,71 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
+                   n_bits: int = 6, hamming_probe: int = 2):
+    """Hyperplane-LSH-bucketed ANN (the other scale path, vs IVF): random
+    sign-bit signatures bucket the corpus in map_batches; each query multi-
+    probes its own bucket plus all buckets within ``hamming_probe`` bit
+    flips (flipping the lowest-margin hyperplanes first is the classic
+    multi-probe refinement; flipping all is the deterministic superset).
+    Corpus rows outside the probed bucket set are dropped BEFORE the matmul
+    — per-bucket cost is N/2^bits on balanced data, and the bucket ids
+    hash-partition across nodes with no driver-side corpus state.
+    Approximate by design → rows-only; recall vs brute force is asserted in
+    tests/test_ann.py."""
+    import ray
+
+    from sievedata.functions.ann import (
+        BruteForceTopK, hyperplane_signatures, make_planes, merge_topk,
+        _normalize,
+    )
+
+    qdf = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < n_queries)
+        .to_pandas()
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    planes = make_planes(qm.shape[1], n_bits=n_bits)
+    qsig = hyperplane_signatures(_normalize(qm), planes)
+
+    # multi-probe bucket set: each query signature ± up to hamming_probe flips
+    probe = {int(s) for s in qsig}
+    frontier = set(probe)
+    for _ in range(hamming_probe):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(n_bits)}
+        probe |= frontier
+    probe_ref = ray.put(probe)
+    planes_ref = ray.put(planes)
+    queries_ref = ray.put((qids, qm))
+
+    def in_probed(t: pa.Table) -> pa.Table:
+        keep = ray.get(probe_ref)
+        pl = ray.get(planes_ref)
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        if emb.size == 0:
+            return t
+        sig = hyperplane_signatures(_normalize(emb), pl)
+        mask = np.fromiter((int(s) in keep for s in sig), dtype=bool, count=len(sig))
+        return t.filter(pa.array(mask))
+
+    cands = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(in_probed, batch_format="pyarrow")
+        .map_batches(
+            BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
+            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        )
+        .to_pandas()
+    )
+    cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    out = merge_topk(cands, k=k)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45, n_clusters: int = 16):
     """Embedding-cosine near-duplicate pairs ≥ threshold — EXACT, via a
     cluster-pruned distributed pair join (no full corpus matrix on the
@@ -1737,6 +2035,7 @@ _ORACLE = {
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "median_price": SQL_MEDIAN_PRICE,
     "running_total": SQL_RUNNING_TOTAL,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
 }
 
 _QUERIES = {
@@ -1771,6 +2070,8 @@ _QUERIES = {
     "median_price": q_median_price,
     "running_total": q_running_total,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,

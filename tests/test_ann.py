@@ -32,6 +32,19 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     assert np.mean(recall) >= 0.6, recall
 
 
+def test_lsh_recall_vs_bruteforce(ray_session):
+    from sievedata.queries import q_ann_lsh_topk, q_ann_topk
+
+    brute = q_ann_topk(SF)
+    lsh = q_ann_lsh_topk(SF)
+    recall = []
+    for qid in brute["query_id"].unique():
+        b = set(brute.loc[brute["query_id"] == qid, "neighbor_id"])
+        l = set(lsh.loc[lsh["query_id"] == qid, "neighbor_id"])
+        recall.append(len(b & l) / len(b))
+    assert np.mean(recall) >= 0.5, recall
+
+
 def test_hyperplane_lsh_buckets_similar_vectors():
     from sievedata.functions.ann import hyperplane_signatures, make_planes
 
