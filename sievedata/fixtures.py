@@ -29,7 +29,7 @@ from sievedata.schema import DOCUMENTS, MEDIA_CATALOG
 
 SEED_DEFAULT = 42
 # bump when generator semantics change so cached fixtures regenerate
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 SIGMA = 0.25
 BASE_DATE = date(2025, 1, 1)
 
@@ -148,7 +148,15 @@ def make_doc(
 
     # line items: rescale unit prices so Σ amount == target_total (±rounding)
     k = int(1 + z[1] % 8)
-    descs = [VOCAB[int(z[2 + i] % 64)] for i in range(k)]
+    # vocab word + per-line model code (~6.4M distinct descs): organic doc
+    # pairs stay well below the 0.9 near-text Jaccard threshold — only the
+    # PLANTED near-text twins copy full line text.  A 64-word vocab alone
+    # made 1-2-line docs collide at J=1.0 organically, flooding the
+    # near-text check with fixture artifacts instead of planted cases.
+    descs = [
+        f"{VOCAB[int(z[2 + i]) % 64]} model {(int(z[2 + i]) >> 6) % 100000:05d}"
+        for i in range(k)
+    ]
     qtys = [int(1 + z[10 + i] % 20) for i in range(k)]
     ups = np.round(u[:k], 2)
     raw = np.array(qtys) * ups

@@ -21,6 +21,14 @@ def linear_sum_assignment(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if cost.ndim != 2:
         raise ValueError("cost must be 2-D")
     n, m = cost.shape
+    # single-row/column fast paths: the optimum is the argmin, and np.argmin's
+    # first-minimum tie-break matches the strict `minv[j] < delta` scan below
+    if n == 1 and m >= 1:
+        return (np.array([0], dtype=np.int64),
+                np.array([int(np.argmin(cost[0]))], dtype=np.int64))
+    if m == 1 and n >= 1:
+        return (np.array([int(np.argmin(cost[:, 0]))], dtype=np.int64),
+                np.array([0], dtype=np.int64))
     transposed = n > m
     if transposed:
         cost = cost.T

@@ -97,17 +97,18 @@ def line_assign_features(
         }
 
     n, m = len(a_lines), len(b_lines)
+    b_desc = [bl.get("desc_norm", "") for bl in b_lines]
+    b_up = [_to_float(bl.get("unit_price")) for bl in b_lines]
+    b_qty = [_to_float(bl.get("qty")) for bl in b_lines]
     cost = np.zeros((n, m), dtype=float)
     for i, al in enumerate(a_lines):
         desc_a = al.get("desc_norm", "")
         up_a = _to_float(al.get("unit_price"))
         qty_a = _to_float(al.get("qty"))
-        for j, bl in enumerate(b_lines):
-            desc_cost = dist_fn(desc_a, bl.get("desc_norm", ""))
-            up_b = _to_float(bl.get("unit_price"))
-            qty_b = _to_float(bl.get("qty"))
-            up_term = min(abs(up_a - up_b) / max(abs(up_a), 1.0), 5.0)
-            qty_term = min(abs(qty_a - qty_b) / max(abs(qty_a), 1.0), 5.0)
+        for j in range(m):
+            desc_cost = dist_fn(desc_a, b_desc[j])
+            up_term = min(abs(up_a - b_up[j]) / max(abs(up_a), 1.0), 5.0)
+            qty_term = min(abs(qty_a - b_qty[j]) / max(abs(qty_a), 1.0), 5.0)
             cost[i, j] = alpha * desc_cost + beta * up_term + gamma * qty_term
 
     row_ind, col_ind = linear_sum_assignment(cost)
@@ -121,11 +122,20 @@ def line_assign_features(
     )
     coverage = float(1.0 - unmatched_amount_frac)
 
-    med_diffs = [
-        abs(_to_float(a_lines[i].get("unit_price")) - _to_float(b_lines[j].get("unit_price")))
+    med_diffs = sorted(
+        abs(_to_float(a_lines[i].get("unit_price")) - b_up[j])
         for i, j in zip(row_ind, col_ind)
-    ]
-    median_unit_price_diff = float(np.median(med_diffs)) if med_diffs else 0.0
+    )
+    # inline median (np.median's per-call overhead dominates at 1-5 matches);
+    # even case (lo+hi)/2.0 is the identical IEEE op to numpy's mean-of-two
+    if med_diffs:
+        h = len(med_diffs) // 2
+        if len(med_diffs) % 2:
+            median_unit_price_diff = float(med_diffs[h])
+        else:
+            median_unit_price_diff = float((med_diffs[h - 1] + med_diffs[h]) / 2.0)
+    else:
+        median_unit_price_diff = 0.0
 
     return {
         "line_coverage_pct": coverage,

@@ -76,7 +76,11 @@ def desc_norm(value: str) -> str:
 
 def desc_norm_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized desc_norm over an Arrow string array."""
-    a = pc.utf8_lower(arr)
+    # U+0130 (İ) is Unicode's only multi-char unconditional lowercase
+    # mapping; python str.lower() expands it to 'i' + U+0307 but Arrow's
+    # utf8_lower does the simple 1:1 map — pre-expand so both paths agree
+    a = pc.replace_substring(arr, "İ", "i̇")
+    a = pc.utf8_lower(a)
     a = pc.replace_substring_regex(a, r"[^a-z0-9\s]", " ")
     a = pc.replace_substring_regex(a, r"\s+", " ")
     a = pc.utf8_trim_whitespace(a)

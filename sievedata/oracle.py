@@ -183,9 +183,12 @@ def oracle_validate(
                     for i in range(j):
                         if pdf_of[ids[i]] is not None and pdf_of[ids[i]] == pdf_of[ids[j]]:
                             continue
-                        # MinHash slot-agreement estimate of shingle Jaccard
-                        # (same estimator as the engine's checker)
-                        jac = float((sig_of[ids[i]] == sig_of[ids[j]]).mean())
+                        # 16-bit-truncated MinHash slot agreement (b-bit
+                        # minwise hashing) — the engine checker's estimator
+                        jac = float(
+                            ((sig_of[ids[i]] & np.uint64(0xFFFF))
+                             == (sig_of[ids[j]] & np.uint64(0xFFFF))).mean()
+                        )
                         if jac >= cfg.neartext_jaccard:
                             cur = best.get(ids[j])
                             if cur is None or ids[i] < cur[0]:

@@ -225,13 +225,19 @@ class PairScorer:
         out_rows: list[tuple] = []
         if not len(df):
             return _EMPTY_PAIRS
+        # prep each unique doc ONCE per bucket: docs repeat across their
+        # exploded (family, block_key) rows (~4 families + LSH bands each)
+        prepped = {
+            r["doc_id"]: self._prep_doc(r)
+            for r in df.drop_duplicates("doc_id").to_dict("records")
+        }
         for (_pk, family, _bk), g in df.groupby(
             ["partition_key", "family", "block_key"], sort=False
         ):
             if len(g) < 2:
                 continue
-            g = g.sort_values("doc_id", kind="mergesort").head(self.block_group_cap)
-            docs = [self._prep_doc(row._asdict()) for row in g.itertuples(index=False)]
+            ids = sorted(g["doc_id"].tolist())[: self.block_group_cap]
+            docs = [prepped[d] for d in ids]
             prio = FAMILY_PRIORITY[family]
             w = self.per_doc_window
             for i, a in enumerate(docs):

@@ -1696,6 +1696,46 @@ FROM orders
 """
 
 
+def q_sliding_window(sf_dir: str, frame: int = 3):
+    """Per-user BOUNDED sliding-frame aggregate (ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW) — the windowed-aggregate companion to
+    q_running_total's unbounded cumsum: bucket shuffle on user hash →
+    within-bucket (user, ts, event_id) sort → grouped rolling max.  Max is
+    comparison-only (no float accumulation), so the value hash cannot hit a
+    rounding boundary regardless of frame arithmetic order."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(u % n_buckets))
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["sliding_max"] = (
+            df.groupby("user_id", sort=False)["value"]
+            .rolling(frame, min_periods=1).max()
+            .to_numpy()
+        )
+        return df[["user_id", "event_id", "sliding_max"]].reset_index(drop=True)
+
+    return (
+        _rp(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(win, batch_format="pandas")
+        .select_columns(["user_id", "event_id", "sliding_max"])
+    )
+
+
+SQL_SLIDING_WINDOW = """
+SELECT user_id, event_id,
+       max(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_max
+FROM events
+"""
+
+
 def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
                    n_centroids: int = 16, n_probe: int = 4):
     """IVF-bucketed ANN (the scale path): k-means coarse quantizer fit on a
@@ -2036,6 +2076,7 @@ _ORACLE = {
     "median_price": SQL_MEDIAN_PRICE,
     "running_total": SQL_RUNNING_TOTAL,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "sliding_window": SQL_SLIDING_WINDOW,
 }
 
 _QUERIES = {
@@ -2072,6 +2113,7 @@ _QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "sliding_window": q_sliding_window,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
