@@ -1736,6 +1736,86 @@ FROM events
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator — Ray Data has no native ASOF): for each
+    event, the latest order of the same customer at-or-before the event
+    time.  Both sides hash-bucket on the join key and ONE cogroup per
+    bucket runs a vectorized ``pandas.merge_asof`` — the right side sorted
+    by (o_orderdate, o_orderkey) so order-date ties resolve to the max
+    orderkey, matching the oracle's row_number tiebreak.  Partitioning
+    assumption (documented per north_rule): one key's events+orders
+    co-locate in a bucket — the same per-key locality every keyed window
+    op in this repo relies on; buckets are hash-spread so no key ordering
+    is required across groups."""
+    n_buckets = 64
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+             "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+             "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
+             "bucket": pa.array(u % n_buckets)}
+        )
+
+    def od_rows(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"event_id": pa.nulls(t.num_rows, pa.int64()),
+             "user_id": t["o_custkey"],
+             "ts": pa.nulls(t.num_rows, pa.timestamp("us")),
+             "o_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"],
+             "bucket": pa.array(c % n_buckets)}
+        )
+
+    _empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ("event_id", "user_id", "last_orderkey")})
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["event_id"].notna()]
+        od = df[df["event_id"].isna()]
+        if not len(ev) or not len(od):
+            return _empty
+        ev = ev[["event_id", "user_id", "ts"]].sort_values("ts", kind="mergesort")
+        od = od[["user_id", "o_orderkey", "o_orderdate"]].sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        m = pd.merge_asof(ev, od, left_on="ts", right_on="o_orderdate",
+                          by="user_id", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        if not len(m):
+            return _empty
+        return pd.DataFrame(
+            {"event_id": m["event_id"].astype("int64"),
+             "user_id": m["user_id"].astype("int64"),
+             "last_orderkey": m["o_orderkey"].astype("int64")}
+        )
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        ev_rows, batch_format="pyarrow"
+    )
+    od = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        od_rows, batch_format="pyarrow"
+    )
+    return (
+        ev.union(od)
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+        .select_columns(["event_id", "user_id", "last_orderkey"])
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
 def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
                    n_centroids: int = 16, n_probe: int = 4):
     """IVF-bucketed ANN (the scale path): k-means coarse quantizer fit on a
@@ -2077,6 +2157,7 @@ _ORACLE = {
     "running_total": SQL_RUNNING_TOTAL,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "sliding_window": SQL_SLIDING_WINDOW,
+    "asof_join": SQL_ASOF_JOIN,
 }
 
 _QUERIES = {
@@ -2114,6 +2195,7 @@ _QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "sliding_window": q_sliding_window,
+    "asof_join": q_asof_join,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
