@@ -14,6 +14,11 @@ from sievedata.sketches.hashing import hash64
 
 _WORD_RE = re.compile(r"[A-Za-z0-9']+")
 
+# GPT-2-style pre-tokenizer pattern, restricted to ASCII classes and with
+# the trailing-whitespace lookahead removed so python re and RE2 (DuckDB)
+# agree exactly (RE2 has no lookahead); compiled once at module load
+_BPE_RE = re.compile(r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+")
+
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 # (public-knowledge common function words)
 _LANG_PROFILES: dict[str, frozenset[str]] = {
@@ -30,6 +35,17 @@ def token_count_column(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     counts = pc.list_value_length(pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
     empty = pc.equal(pc.utf8_trim_whitespace(text), "")
     return pc.if_else(empty, pa.scalar(0, pa.int32()), counts)
+
+
+def bpe_token_count_column(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """BPE-ish pre-token count per string (the GPT-2 split pattern, ASCII
+    variant) — the token-budget estimator a training-data pipeline uses
+    before running a real tokenizer.  Regex compiled once at module load;
+    python loop is per-batch, not per-task."""
+    return pa.array(
+        [len(_BPE_RE.findall(t)) if t is not None else 0 for t in text.to_pylist()],
+        pa.int64(),
+    )
 
 
 def word_token_count_column(text: pa.Array | pa.ChunkedArray) -> pa.Array:

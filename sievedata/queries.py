@@ -663,6 +663,34 @@ def q_token_stats(sf_dir: str):
     )
 
 
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish pre-token counting (GPT-2 split pattern, ASCII variant) —
+    the token-budget estimate a training-data pipeline runs before a real
+    tokenizer; lookahead-free so the python and RE2/DuckDB engines agree
+    exactly (functions/text.py::_BPE_RE)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        from sievedata.functions.text import bpe_token_count_column
+
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_bpe_tokens": bpe_token_count_column(t["text"].combine_chunks())}
+        )
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+SQL_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'
+       )) AS n_bpe_tokens
+FROM documents
+"""
+
+
 SQL_TOKEN_STATS = """
 SELECT doc_id,
        length(text) AS n_chars,
@@ -2158,6 +2186,7 @@ _ORACLE = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "sliding_window": SQL_SLIDING_WINDOW,
     "asof_join": SQL_ASOF_JOIN,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
 }
 
 _QUERIES = {
@@ -2196,6 +2225,7 @@ _QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "sliding_window": q_sliding_window,
     "asof_join": q_asof_join,
+    "bpe_token_count": q_bpe_token_count,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
