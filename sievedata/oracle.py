@@ -167,7 +167,9 @@ def oracle_validate(
         ]
         pk_of = {d["doc_id"]: d["pk"] for d in elig_docs}
         pdf_of = {d["doc_id"]: d["pdf_hash"] for d in elig_docs}
-        sigs = minhash_signature_batch(texts)
+        # 16-bit-truncated slots (b-bit minwise hashing) for BOTH banding and
+        # verification — identical to the engine's stored neartext_sig
+        sigs = minhash_signature_batch(texts) & np.uint64(0xFFFF)
         sig_of = {d["doc_id"]: sigs[i] for i, d in enumerate(elig_docs)}
         band_tbl = lsh_band_rows(
             [d["doc_id"] for d in elig_docs], sigs, bands=cfg.neartext_bands
@@ -183,12 +185,8 @@ def oracle_validate(
                     for i in range(j):
                         if pdf_of[ids[i]] is not None and pdf_of[ids[i]] == pdf_of[ids[j]]:
                             continue
-                        # 16-bit-truncated MinHash slot agreement (b-bit
-                        # minwise hashing) — the engine checker's estimator
-                        jac = float(
-                            ((sig_of[ids[i]] & np.uint64(0xFFFF))
-                             == (sig_of[ids[j]] & np.uint64(0xFFFF))).mean()
-                        )
+                        # truncated-slot agreement — the engine's estimator
+                        jac = float((sig_of[ids[i]] == sig_of[ids[j]]).mean())
                         if jac >= cfg.neartext_jaccard:
                             cur = best.get(ids[j])
                             if cur is None or ids[i] < cur[0]:

@@ -94,6 +94,28 @@ def _batch_line_texts(batch: pa.Table) -> list[str]:
     return texts
 
 
+def _mat_to_fixed_bin(mat: np.ndarray) -> pa.Array:
+    """(n, k) numeric matrix → fixed_size_binary(k·itemsize) column with no
+    per-row python: one contiguous buffer, zero-copy into Arrow."""
+    mat = np.ascontiguousarray(mat)
+    width = mat.shape[1] * mat.itemsize
+    return pa.Array.from_buffers(
+        pa.binary(width), mat.shape[0], [None, pa.py_buffer(mat.tobytes())]
+    )
+
+
+def _fixed_bin_to_mat(col, dtype, n_cols: int) -> np.ndarray:
+    """fixed_size_binary column → (n, n_cols) matrix, zero-copy off the
+    Arrow data buffer (handles slice offsets; column has no nulls by
+    construction)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = arr.type.byte_width
+    data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    start = arr.offset * width
+    mat = data[start:start + len(arr) * width].view(dtype)
+    return mat.reshape(len(arr), n_cols)
+
+
 @dataclass
 class ValidateConfig:
     z_threshold: float = 2.5
@@ -180,17 +202,17 @@ class PerDocChecks:
         out = out.append_column("amount_z", pa.array(z))
         out = out.append_column("is_outlier", pa.array(is_outlier))
         out = out.append_column("eligible", pa.array(eligible))
-        # MinHash signature over the normalized line text (512 B/doc), the
-        # near-text index column: computed ONCE here so stage 2's near-text
-        # pass reads only the narrow intermediate (no second parse of the
-        # wide spans input)
+        # MinHash signature over the normalized line text, truncated to
+        # 16-bit slots (b-bit minwise hashing — 128 B/doc instead of 512),
+        # the near-text index column: computed ONCE here so stage 2's
+        # near-text pass reads only the narrow intermediate (no second
+        # parse of the wide spans input).  Banding AND verification both
+        # operate on the truncated slots (oracle identically).
         from sievedata.functions.dedup import minhash_signature_batch
 
         sigs = minhash_signature_batch(_batch_line_texts(batch))
-        out = out.append_column(
-            "neartext_sig",
-            pa.array([sigs[i].tobytes() for i in range(n)], pa.binary()),
-        )
+        sig16 = (sigs & np.uint64(0xFFFF)).astype(np.uint16)
+        out = out.append_column("neartext_sig", _mat_to_fixed_bin(sig16))
         return out
 
 
@@ -460,10 +482,13 @@ def _make_neartext_rows(n_buckets: int, bands: int):
     Verification downstream is MinHash-signature slot agreement — RR-003's
     own formulation ("MinHash signatures shall approximate shingle
     Jaccard", architecture.md:188): identical texts still give exactly 1.0.
-    Band rows carry the signature TRUNCATED to 16-bit slots (b-bit minwise
-    hashing, Li & König 2010): 128 B instead of 512 B per row — 4× less
-    band-shuffle volume for a per-slot false-agreement rate of 2⁻¹⁶.  The
-    pure-python oracle uses the identical truncated estimator.
+    The stored signature is already TRUNCATED to 16-bit slots (b-bit
+    minwise hashing, Li & König 2010): 128 B instead of 512 B per doc in
+    the intermediate AND per band row — 4× less read + shuffle volume for
+    a per-slot false-agreement rate of 2⁻¹⁶.  Banding mixes the truncated
+    slots, and the pure-python oracle bands + verifies identically; the
+    column is fixed_size_binary so encode/decode is one buffer view, no
+    per-row python.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -479,17 +504,15 @@ def _make_neartext_rows(n_buckets: int, bands: int):
                  "band_hash": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.string()),
                  "pdf_hash": pa.array([], pa.string()),
-                 "sig": pa.array([], pa.binary()),
+                 "sig": pa.array([], pa.binary(128)),
                  "bucket": pa.array([], pa.int64())}
             )
 
         sig_col = elig.column("neartext_sig").combine_chunks()
-        sigs = np.frombuffer(
-            b"".join(sig_col.to_pylist()), dtype=np.uint64
-        ).reshape(n, -1)
-        band_ids, band_hashes = lsh_band_arrays(sigs, bands=bands)
-        sig16 = (sigs & np.uint64(0xFFFF)).astype(np.uint16)
-        sig16_col = pa.array([sig16[i].tobytes() for i in range(n)], pa.binary())
+        sig16 = _fixed_bin_to_mat(sig_col, np.uint16, 64)
+        # band on the truncated slots (u64 view so the FNV mix matches the
+        # oracle's lsh_band_rows over the same truncated values)
+        band_ids, band_hashes = lsh_band_arrays(sig16.astype(np.uint64), bands=bands)
         idx = np.tile(np.arange(n, dtype=np.int64), bands)
         take = pa.array(idx)
         # bucket = f(full group key): per-doc pk hash tiled band-major
@@ -505,7 +528,7 @@ def _make_neartext_rows(n_buckets: int, bands: int):
                 "band_hash": pa.array(band_hashes.view(np.int64)),
                 "doc_id": elig.column("doc_id").take(take),
                 "pdf_hash": elig.column("pdf_hash").take(take),
-                "sig": sig16_col.take(take),
+                "sig": sig_col.take(take),
                 "bucket": pa.array(bucket),
             }
         )
