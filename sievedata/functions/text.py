@@ -16,8 +16,15 @@ _WORD_RE = re.compile(r"[A-Za-z0-9']+")
 
 # GPT-2-style pre-tokenizer pattern, restricted to ASCII classes and with
 # the trailing-whitespace lookahead removed so python re and RE2 (DuckDB)
-# agree exactly (RE2 has no lookahead); compiled once at module load
-_BPE_RE = re.compile(r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+")
+# agree exactly (RE2 has no lookahead).  Whitespace is an EXPLICIT class,
+# not \s: python's \s is Unicode-aware (and ASCII \s includes \v) while
+# RE2's \s is [\t\n\f\r ] — the explicit class is identical in both
+# engines.  Compiled once at module load.
+_BPE_WS = r" \t\n\f\r"
+_BPE_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^"
+    + _BPE_WS + r"a-zA-Z0-9]+|[" + _BPE_WS + r"]+"
+)
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 # (public-knowledge common function words)

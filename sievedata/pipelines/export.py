@@ -11,9 +11,10 @@ that MUST NOT include raw PII or full bank numbers (RPT-001/002,
 """
 from __future__ import annotations
 
+import datetime
 import os
+import shutil
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -36,11 +37,11 @@ def _strip_batch(batch: pa.Table) -> pa.Table:
     masked = pa.array([mask_account_last4(a) for a in accounts], pa.string())
     hashed = pa.array([hash_account(a) for a in accounts], pa.string())
     out = parsed.select(
-        ["doc_id", "partition_key", "invnum_norm", "invoice_date",
-         "currency", "total", "tax_total"]
+        [c for c in EXPORT_DOC_COLUMNS if c in parsed.column_names]
     )
     out = out.append_column("remit_account_masked", masked)
-    return out.append_column("remit_account_hash", hashed)
+    out = out.append_column("remit_account_hash", hashed)
+    return out.select(EXPORT_DOC_COLUMNS)
 
 
 def export_decisions(
@@ -79,14 +80,21 @@ def export_decisions(
             t = t.filter(pc.equal(t["partition_key"], vendor))
         if date_from is not None:
             t = t.filter(pc.greater_equal(
-                t["invoice_date"], pa.scalar(np.datetime64(date_from, "D"))))
+                t["invoice_date"],
+                pa.scalar(datetime.date.fromisoformat(date_from))))
         if date_to is not None:
             t = t.filter(pc.less_equal(
-                t["invoice_date"], pa.scalar(np.datetime64(date_to, "D"))))
+                t["invoice_date"],
+                pa.scalar(datetime.date.fromisoformat(date_to))))
         return t
 
     joined = joined.map_batches(sel, batch_format="pyarrow")
 
+    # idempotent re-run: a prior export's UUID-named files would otherwise
+    # survive next to the new ones and double-count in n_rows (same
+    # clear-first contract as the score pipeline's cases sink)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     if fmt == "csv":
         joined.write_csv(out_dir)

@@ -107,7 +107,7 @@ def _explode_candidates(
     so near-dup text lands in the same block group without any structured
     key.  Replication cost is ``neartext_bands`` rows per doc for this
     family — the documented trade for text recall."""
-    from sievedata.functions.dedup import lsh_band_rows, minhash_signature_batch
+    from sievedata.functions.dedup import lsh_band_arrays, minhash_signature_batch
     from sievedata.sketches.hashing import hash64
 
     mask = pc.and_(
@@ -148,13 +148,11 @@ def _explode_candidates(
     if neartext and elig.num_rows:
         texts = doc_line_text(elig.column("lines"))
         sigs = minhash_signature_batch(texts)
-        ids = [str(x) for x in elig.column("doc_id").to_pylist()]
-        band_rows = lsh_band_rows(ids, sigs, bands=neartext_bands)
-        # lsh_band_rows is band-major (band 0: all docs, band 1: all docs, …)
+        # lsh_band_arrays is band-major (band 0: all docs, band 1: …) and
+        # pure-numpy — no python string/list building in this hot path
+        bi, bh = lsh_band_arrays(sigs, bands=neartext_bands)
         idx = np.tile(np.arange(elig.num_rows, dtype=np.int64), neartext_bands)
         sub = elig.take(pa.array(idx))
-        bi = band_rows["band_id"].to_numpy(zero_copy_only=False)
-        bh = band_rows["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bkey_np = np.char.add(np.char.add(bi.astype(np.str_), ":"), bh.astype(np.str_))
         outs.append(_with_keys(sub, "neartext", pa.array(bkey_np.tolist(), pa.string())))
 

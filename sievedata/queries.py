@@ -165,7 +165,10 @@ def q_segment_revenue(sf_dir: str):
         def attach(t: pa.Table) -> pa.Table:
             seg = ray.get(seg_ref)
             keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            return t.append_column("c_mktsegment", _factorized_lookup(keys, seg))
+            t = t.append_column("c_mktsegment", _factorized_lookup(keys, seg))
+            # inner-join semantics: drop orders with no matching customer
+            # (same result shape as the shuffle-join path / SQL oracle)
+            return t.filter(pc.is_valid(t["c_mktsegment"]))
 
         joined = orders.map_batches(attach, batch_format="pyarrow")
 
@@ -199,7 +202,9 @@ def q_region_customers(sf_dir: str):
     def attach(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
         keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        return t.append_column("r_name", _factorized_lookup(keys, lk))
+        t = t.append_column("r_name", _factorized_lookup(keys, lk))
+        # inner-join semantics (match the SQL oracle): drop unmatched keys
+        return t.filter(pc.is_valid(t["r_name"]))
 
     return (
         _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -682,11 +687,11 @@ def q_bpe_token_count(sf_dir: str):
     )
 
 
-SQL_BPE_TOKEN_COUNT = """
+SQL_BPE_TOKEN_COUNT = r"""
 SELECT doc_id,
-       len(regexp_extract_all(text,
-           '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'
-       )) AS n_bpe_tokens
+       coalesce(len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\f\ra-zA-Z0-9]+|[ \t\n\f\r]+'
+       )), 0) AS n_bpe_tokens
 FROM documents
 """
 
@@ -1334,12 +1339,14 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
-WITH nums AS (SELECT i FROM generate_series(1, 10000) t(i)),
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents WHERE text IS NOT NULL
+),
 g AS (
   SELECT doc_id, list(DISTINCT substr(text, i::INT, 5)) AS grams
-  FROM documents JOIN nums ON i <= greatest(length(text) - 4, 1)
-  WHERE text IS NOT NULL
-  GROUP BY doc_id
+  FROM e GROUP BY doc_id
 )
 SELECT a, b, inter, na + nb - inter AS uni FROM (
   SELECT a.doc_id AS a, b.doc_id AS b,
@@ -1386,16 +1393,28 @@ def q_embedding_norms(sf_dir: str):
     def norms(t: pa.Table) -> pa.Table:
         emb = t["embedding"].combine_chunks()
         # offsets are ABSOLUTE into the values buffer (a sliced ListArray
-        # keeps the parent's buffer) — rebase them before segment sums, and
-        # use a cumsum-difference so empty/trailing-empty lists can't push a
-        # reduceat index past the end of the slice.
+        # keeps the parent's buffer) — rebase them before segment sums.
+        # reduceat (sequential left-to-right per segment) keeps float-op
+        # association identical to the oracle's list_sum; a cumsum
+        # difference would re-associate and drift ~1e-10 near rounding
+        # boundaries.  Empty lists (incl. a trailing one, which would push
+        # a reduceat index past the end) are masked to 0 explicitly.
         offs = np.asarray(emb.offsets)
-        rel = offs - offs[0]
+        rel = (offs - offs[0]).astype(np.int64)
         vals = np.asarray(
             emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
         )[offs[0]:offs[-1]]
-        csum = np.concatenate(([0.0], np.cumsum(vals * vals)))
-        sq = csum[rel[1:]] - csum[rel[:-1]]
+        sq_all = vals * vals
+        starts, lens = rel[:-1], rel[1:] - rel[:-1]
+        nonempty = lens > 0
+        sq = np.zeros(len(starts))
+        if sq_all.size and nonempty.any():
+            # empty segments are excluded from the index list (a trailing
+            # empty would be an out-of-range index; a middle empty would
+            # shorten its predecessor's segment) — non-empty starts tile
+            # the values buffer contiguously, so reduceat over just them
+            # is exact
+            sq[nonempty] = np.add.reduceat(sq_all, starts[nonempty])
         return pa.table(
             {"vec_id": t["vec_id"], "l2_norm": pa.array(np.round(np.sqrt(sq), 4))}
         )

@@ -81,6 +81,26 @@ def test_pii_stripped_export(t1_score, tmp_path):
     exp_v = pq.read_table(out_v["out"]).to_pandas()
     assert (exp_v["partition_key"] == "V0005").all() and len(exp_v) > 0
 
+    # date-range selection (RPT-001's by-date axis): a window strictly
+    # inside the fixture's date span keeps a proper non-empty subset
+    dates = exp["invoice_date"].sort_values()
+    lo, hi = dates.iloc[len(dates) // 4], dates.iloc[3 * len(dates) // 4]
+    out_d = export_decisions(
+        t1_score["tables"]["documents"], run_dir, str(tmp_path / "exp_d"),
+        date_from=str(lo), date_to=str(hi),
+    )
+    exp_d = pq.read_table(out_d["out"]).to_pandas()
+    assert 0 < len(exp_d) < len(exp)
+    assert exp_d["invoice_date"].between(lo, hi).all()
+    assert len(exp_d) == ((exp["invoice_date"] >= lo) & (exp["invoice_date"] <= hi)).sum()
+
+    # idempotent re-run into the same out dir: no stale-file accumulation
+    out2 = export_decisions(
+        t1_score["tables"]["documents"], run_dir, str(tmp_path / "exp")
+    )
+    assert out2["n_rows"] == out["n_rows"]
+    assert len(pq.read_table(out2["out"]).to_pandas()) == len(exp)
+
 
 def test_text_twins_retrieved_via_lsh(t1_score):
     """Planted ~text twins share NO structured block key with their base doc
