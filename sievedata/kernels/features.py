@@ -30,12 +30,18 @@ def _string_distance(a: str, b: str) -> float:
     return 1.0 - jaro_winkler(a, b)
 
 
-def header_features(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, float]:
+def header_features(
+    a: Dict[str, Any], b: Dict[str, Any], jw_fn=None
+) -> Dict[str, float]:
     """Header-level pair features.  Ref: app/features.py:20-40.
 
     ``invoice_date`` values must support subtraction yielding ``.days``
-    (datetime.date), like the reference.
+    (datetime.date), like the reference.  ``jw_fn(a, b)`` optionally
+    overrides the invoice-number Jaro-Winkler (callers may pass a memoized
+    or batch-precomputed version; must return the identical value).
     """
+    if jw_fn is None:
+        jw_fn = jaro_winkler
     total_a = _to_float(a.get("total"))
     total_b = _to_float(b.get("total"))
     feats: Dict[str, float] = {}
@@ -60,7 +66,7 @@ def header_features(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, float]:
     feats["payee_name_change_flag"] = float(
         1.0 if (a.get("remit_name") or "") != (b.get("remit_name") or "") else 0.0
     )
-    feats["invnum_edit"] = 1.0 - jaro_winkler(
+    feats["invnum_edit"] = 1.0 - jw_fn(
         a.get("invoice_number_norm", ""), b.get("invoice_number_norm", "")
     )
     return feats
@@ -73,6 +79,7 @@ def line_assign_features(
     beta: float = 0.2,
     gamma: float = 0.1,
     dist_fn=None,
+    cost=None,
 ) -> Dict[str, float]:
     """Optimal line-item matching features via Hungarian assignment on
     0.7·desc_dist + 0.2·capped Δunit_price + 0.1·capped Δqty.
@@ -80,6 +87,9 @@ def line_assign_features(
 
     ``dist_fn(a, b)`` overrides the desc distance (callers may pass a
     memoized Jaro-Winkler — descs repeat heavily across pairs).
+    ``cost`` optionally supplies the whole (n, m) cost matrix precomputed
+    (callers may assemble it vectorized from batch-computed desc
+    distances; values must be identical to the in-line build).
     """
     if dist_fn is None:
         dist_fn = _string_distance
@@ -97,19 +107,20 @@ def line_assign_features(
         }
 
     n, m = len(a_lines), len(b_lines)
-    b_desc = [bl.get("desc_norm", "") for bl in b_lines]
     b_up = [_to_float(bl.get("unit_price")) for bl in b_lines]
-    b_qty = [_to_float(bl.get("qty")) for bl in b_lines]
-    cost = np.zeros((n, m), dtype=float)
-    for i, al in enumerate(a_lines):
-        desc_a = al.get("desc_norm", "")
-        up_a = _to_float(al.get("unit_price"))
-        qty_a = _to_float(al.get("qty"))
-        for j in range(m):
-            desc_cost = dist_fn(desc_a, b_desc[j])
-            up_term = min(abs(up_a - b_up[j]) / max(abs(up_a), 1.0), 5.0)
-            qty_term = min(abs(qty_a - b_qty[j]) / max(abs(qty_a), 1.0), 5.0)
-            cost[i, j] = alpha * desc_cost + beta * up_term + gamma * qty_term
+    if cost is None:
+        b_desc = [bl.get("desc_norm", "") for bl in b_lines]
+        b_qty = [_to_float(bl.get("qty")) for bl in b_lines]
+        cost = np.zeros((n, m), dtype=float)
+        for i, al in enumerate(a_lines):
+            desc_a = al.get("desc_norm", "")
+            up_a = _to_float(al.get("unit_price"))
+            qty_a = _to_float(al.get("qty"))
+            for j in range(m):
+                desc_cost = dist_fn(desc_a, b_desc[j])
+                up_term = min(abs(up_a - b_up[j]) / max(abs(up_a), 1.0), 5.0)
+                qty_term = min(abs(qty_a - b_qty[j]) / max(abs(qty_a), 1.0), 5.0)
+                cost[i, j] = alpha * desc_cost + beta * up_term + gamma * qty_term
 
     row_ind, col_ind = linear_sum_assignment(cost)
     matched_rows = set(row_ind.tolist())

@@ -177,11 +177,14 @@ class PairScorer:
         self.block_group_cap = block_group_cap
         self.per_doc_window = per_doc_window
         self._dice_cache: dict[tuple[str, str], float] = {}
+        self._inv_cache: dict[tuple[str, str], float] = {}
         self._desc_cache: dict[tuple[str, str], float] = {}
 
     def _desc_dist(self, a: str, b: str) -> float:
         from sievedata.kernels.similarity import jaro_winkler
 
+        if a == b:
+            return 0.0  # jaro(s, s) is exactly 1.0 (incl. both-empty)
         key = (a, b) if a <= b else (b, a)
         v = self._desc_cache.get(key)
         if v is None:
@@ -189,6 +192,68 @@ class PairScorer:
             if len(self._desc_cache) < 500_000:
                 self._desc_cache[key] = v
         return v
+
+    def _invnum_jw(self, a: str, b: str) -> float:
+        from sievedata.kernels.similarity import jaro_winkler
+
+        if a == b:
+            return 1.0
+        key = (a, b) if a <= b else (b, a)
+        v = self._inv_cache.get(key)
+        if v is None:
+            v = jaro_winkler(a, b)
+            if len(self._inv_cache) < 500_000:
+                self._inv_cache[key] = v
+        return v
+
+    def _prefetch_distances(self, groups, prepped) -> None:
+        """Batch-precompute every desc distance and invnum similarity the
+        bucket's pair loop will look up (vectorized Jaro-Winkler,
+        bit-exact with the scalar) so the hot loop only does dict hits.
+        Per group: all unordered pairs of its distinct desc / invnum
+        values — exactly the lookups the pair loop performs."""
+        from sievedata.kernels.similarity import jaro_winkler_batch
+
+        # bound worker memory (~200 B/entry → ~700 MB cap).  Clearing BEFORE
+        # the todo collection means this call's full working set is
+        # collected, computed and resident for the pair loop — clearing
+        # later would evict values the loop is about to look up.
+        if len(self._desc_cache) > 3_500_000:
+            self._desc_cache.clear()
+        if len(self._inv_cache) > 3_500_000:
+            self._inv_cache.clear()
+        desc_todo: set[tuple[str, str]] = set()
+        inv_todo: set[tuple[str, str]] = set()
+        for _prio, ids in groups:
+            descs = sorted({l["desc_norm"] for d in ids for l in prepped[d]["lines"]})
+            invs = sorted({prepped[d]["invoice_number_norm"] for d in ids})
+            for xi, dx in enumerate(descs):
+                for dy in descs[xi + 1:]:
+                    if (dx, dy) not in self._desc_cache:
+                        desc_todo.add((dx, dy))
+            for xi, ix in enumerate(invs):
+                for iy in invs[xi + 1:]:
+                    if (ix, iy) not in self._inv_cache:
+                        inv_todo.add((ix, iy))
+        # the vectorized batch has per-call setup (encode, buffers) that
+        # only pays for itself on a few hundred pairs; tiny sets go
+        # through the scalar kernel
+        from sievedata.kernels.similarity import jaro_winkler
+
+        if len(desc_todo) >= 256:
+            todo = list(desc_todo)
+            for k, v in zip(todo, jaro_winkler_batch(todo)):
+                self._desc_cache[k] = 1.0 - v
+        else:
+            for k in desc_todo:
+                self._desc_cache[k] = 1.0 - jaro_winkler(k[0], k[1])
+        if len(inv_todo) >= 256:
+            todo = list(inv_todo)
+            for k, v in zip(todo, jaro_winkler_batch(todo)):
+                self._inv_cache[k] = float(v)
+        else:
+            for k in inv_todo:
+                self._inv_cache[k] = jaro_winkler(k[0], k[1])
 
     def _text_cosine(self, a_text: str, b_text: str) -> float:
         key = (a_text, b_text) if a_text <= b_text else (b_text, a_text)
@@ -208,6 +273,14 @@ class PairScorer:
         for l in lines:
             l["desc_norm"] = l.get("desc_norm") or ""
         d["lines"] = lines
+        from sievedata.kernels.features import _to_float
+
+        d["up_arr"] = np.array(
+            [_to_float(l.get("unit_price")) for l in lines], dtype=np.float64
+        )
+        d["qty_arr"] = np.array(
+            [_to_float(l.get("qty")) for l in lines], dtype=np.float64
+        )
         d["line_text"] = " ".join(l["desc_norm"] for l in lines)
         d["invoice_number_norm"] = d["invnum_norm"] or ""
         dt = d["invoice_date"]
@@ -229,25 +302,67 @@ class PairScorer:
             r["doc_id"]: self._prep_doc(r)
             for r in df.drop_duplicates("doc_id").to_dict("records")
         }
+        # groups: (family priority, doc_ids sorted + capped)
+        groups: list[tuple[int, list[str]]] = []
         for (_pk, family, _bk), g in df.groupby(
             ["partition_key", "family", "block_key"], sort=False
         ):
             if len(g) < 2:
                 continue
             ids = sorted(g["doc_id"].tolist())[: self.block_group_cap]
+            groups.append((FAMILY_PRIORITY[family], ids))
+        if not groups:
+            return _EMPTY_PAIRS
+        self._prefetch_distances(groups, prepped)
+        alpha, beta, gamma = 0.7, 0.2, 0.1
+        for prio, ids in groups:
             docs = [prepped[d] for d in ids]
-            prio = FAMILY_PRIORITY[family]
+            # group desc vocabulary + dense distance matrix so each ordered
+            # pair's cost matrix assembles as three vectorized ops
+            # (identical float expression to the in-line build)
+            vocab: dict[str, int] = {}
+            for d in docs:
+                for l in d["lines"]:
+                    vocab.setdefault(l["desc_norm"], len(vocab))
+            D = np.zeros((len(vocab), len(vocab)))
+            for dx, x in vocab.items():
+                row = D[x]
+                for dy, y in vocab.items():
+                    if dx != dy:
+                        row[y] = self._desc_dist(dx, dy)
+            idxs = [
+                np.array(
+                    [vocab[l["desc_norm"]] for l in d["lines"]], dtype=np.int64
+                )
+                for d in docs
+            ]
             w = self.per_doc_window
             for i, a in enumerate(docs):
                 lo = max(0, i - w) if w is not None else 0
                 hi = min(len(docs), i + w + 1) if w is not None else len(docs)
+                a_up, a_qty = a["up_arr"], a["qty_arr"]
+                a_den = np.maximum(np.abs(a_up), 1.0)[:, None]
                 for j in range(lo, hi):
                     if i == j:
                         continue
                     b = docs[j]
-                    feats = header_features(a, b)
+                    feats = header_features(a, b, jw_fn=self._invnum_jw)
+                    if len(a["lines"]) and len(b["lines"]):
+                        cost = alpha * D[np.ix_(idxs[i], idxs[j])]
+                        cost += beta * np.minimum(
+                            np.abs(a_up[:, None] - b["up_arr"][None, :]) / a_den, 5.0
+                        )
+                        cost += gamma * np.minimum(
+                            np.abs(a_qty[:, None] - b["qty_arr"][None, :])
+                            / np.maximum(np.abs(a_qty), 1.0)[:, None],
+                            5.0,
+                        )
+                    else:
+                        cost = None
                     feats.update(
-                        line_assign_features(a["lines"], b["lines"], dist_fn=self._desc_dist)
+                        line_assign_features(
+                            a["lines"], b["lines"], dist_fn=self._desc_dist, cost=cost
+                        )
                     )
                     feats["text_cosine"] = self._text_cosine(a["line_text"], b["line_text"])
                     pdf_equal = float(

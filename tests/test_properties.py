@@ -96,3 +96,32 @@ def test_fuse_scores_bounds_and_bank_floor(dup, anom, bank, text):
     assert 0.0 <= s <= 100.0
     if bank:
         assert s >= 80.0
+
+
+# small alphabet ⇒ frequent partial matches, transpositions and shared
+# prefixes — the branches where batch and scalar JW could diverge
+_jw_text = st.text(alphabet="abАБ01- ", max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_jw_text, _jw_text), min_size=1, max_size=50))
+def test_jaro_winkler_batch_equals_scalar(pairs):
+    from sievedata.kernels.similarity import jaro_winkler, jaro_winkler_batch
+
+    got = jaro_winkler_batch(pairs)
+    expected = np.array([jaro_winkler(a, b) for a, b in pairs])
+    # bit-exact: the pair scorer's oracle parity relies on identical floats
+    assert np.array_equal(got, expected)
+
+
+def test_jaro_winkler_batch_edge_paths():
+    from sievedata.kernels.similarity import jaro_winkler, jaro_winkler_batch
+
+    long = "x" * 200 + "abc"
+    pairs = [
+        ("", ""), ("", "a"), ("abc", "abc"),
+        (long, long[:-1] + "d"),          # >128-char scalar fallback
+        ("martha", "marhta"), ("dwayne", "duane"),
+    ]
+    got = jaro_winkler_batch(pairs)
+    assert np.array_equal(got, np.array([jaro_winkler(a, b) for a, b in pairs]))
