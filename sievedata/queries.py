@@ -1863,6 +1863,122 @@ SELECT event_id, user_id, o_orderkey AS last_orderkey FROM (
 """
 
 
+def q_range_join(sf_dir: str, days: int = 7):
+    """Range (interval) join — custom operator, Ray Data has no native one:
+    per order, count + sum of the customer's events with
+    ``o_orderdate <= ts < o_orderdate + days``.
+
+    Both sides hash-bucket on the equi-key (customer); ONE cogroup per
+    bucket reduces the interval predicate to two vectorized
+    ``pandas.merge_asof`` probes against per-user cumulative event stats
+    (count, integer-cents sum): events in [start, end) = cum(<end) −
+    cum(<start).  Integer cents make the cumsum-difference exact — a float
+    cumsum difference would re-associate the sum and drift off the
+    oracle's grid (CLAUDE.md exactness rule).  Partitioning assumption
+    (documented per north_rule): one key's orders+events co-locate in a
+    bucket; buckets are hash-spread, no cross-group ordering needed —
+    shuffle volume is O(|orders| + |events|), never the O(n·m) join
+    fan-out of the naive interval join."""
+    n_buckets = 64
+    span = np.timedelta64(days, "D")
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "cents": pa.array(cents),
+             "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+             "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
+             "bucket": pa.array(u % n_buckets)}
+        )
+
+    def od_rows(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"user_id": t["o_custkey"],
+             "ts": pa.nulls(t.num_rows, pa.timestamp("us")),
+             "cents": pa.nulls(t.num_rows, pa.int64()),
+             "o_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"],
+             "bucket": pa.array(c % n_buckets)}
+        )
+
+    _empty = pd.DataFrame(
+        {"o_orderkey": pd.Series(dtype="int64"),
+         "n_events": pd.Series(dtype="int64"),
+         "sum_value_cents": pd.Series(dtype="int64")}
+    )
+
+    def rjoin(df: pd.DataFrame) -> pd.DataFrame:
+        od = df[df["o_orderkey"].notna()]
+        if not len(od):
+            return _empty
+        od = od[["o_orderkey", "user_id", "o_orderdate"]].sort_values(
+            "o_orderdate", kind="mergesort"
+        )
+        ev = df[df["o_orderkey"].isna()]
+        if not len(ev):
+            return pd.DataFrame(
+                {"o_orderkey": od["o_orderkey"].astype("int64").to_numpy(),
+                 "n_events": np.zeros(len(od), dtype=np.int64),
+                 "sum_value_cents": np.zeros(len(od), dtype=np.int64)}
+            )
+        # merge_asof needs the right side GLOBALLY sorted on the on-key;
+        # per-user cumulatives only need ts order within each user, which
+        # a global stable ts sort also guarantees
+        ev = ev[["user_id", "ts", "cents"]].sort_values("ts", kind="mergesort")
+        g = ev.groupby("user_id", sort=False)
+        ev["cum_n"] = (g.cumcount() + 1).astype("int64")
+        ev["cum_c"] = g["cents"].cumsum().astype("int64")
+        cum = ev[["user_id", "ts", "cum_n", "cum_c"]]
+        # strictly-before probes: events in [start, end) = cum(ts < end)
+        # − cum(ts < start).  end = start + span is monotone in start, so
+        # one o_orderdate sort serves both probes and rows stay aligned.
+        lo = pd.merge_asof(
+            od, cum, left_on="o_orderdate", right_on="ts", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )
+        hi = pd.merge_asof(
+            od.assign(end=od["o_orderdate"] + span), cum,
+            left_on="end", right_on="ts", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )
+        n = (hi["cum_n"].fillna(0) - lo["cum_n"].fillna(0)).astype("int64")
+        c = (hi["cum_c"].fillna(0) - lo["cum_c"].fillna(0)).astype("int64")
+        return pd.DataFrame(
+            {"o_orderkey": od["o_orderkey"].astype("int64").to_numpy(),
+             "n_events": n.to_numpy(), "sum_value_cents": c.to_numpy()}
+        )
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        ev_rows, batch_format="pyarrow"
+    )
+    od = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        od_rows, batch_format="pyarrow"
+    )
+    return (
+        ev.union(od)
+        .groupby("bucket")
+        .map_groups(rjoin, batch_format="pandas")
+        .select_columns(["o_orderkey", "n_events", "sum_value_cents"])
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT o.o_orderkey,
+       count(e.user_id) AS n_events,
+       CAST(coalesce(sum(CAST(round(e.value * 100) AS BIGINT)), 0) AS BIGINT)
+         AS sum_value_cents
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+
 def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
                    n_centroids: int = 16, n_probe: int = 4):
     """IVF-bucketed ANN (the scale path): k-means coarse quantizer fit on a
@@ -2205,6 +2321,7 @@ _ORACLE = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "sliding_window": SQL_SLIDING_WINDOW,
     "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
 }
 
@@ -2244,6 +2361,7 @@ _QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "sliding_window": q_sliding_window,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "bpe_token_count": q_bpe_token_count,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
