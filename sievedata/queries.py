@@ -2284,6 +2284,265 @@ def q_score_flagship(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Explode / pivot / rollup / histogram / quantile / semi-join families
+# --------------------------------------------------------------------------
+
+def q_word_count(sf_dir: str, k: int = 100):
+    """Word-frequency top-k over documents.text (explode/UNNEST family,
+    M7-adjacent tokenization).
+
+    The explode happens INSIDE map_batches via Arrow ``split_pattern`` +
+    ``list_flatten`` (vectorized — never a per-row ``flat_map``), and each
+    block pre-aggregates its own word counts (``value_counts`` combiner), so
+    the shuffle moves one row per distinct word per block rather than one
+    row per token — at 100 TB the raw token stream never enters the object
+    store."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"].combine_chunks(), " "))
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["text"])
+        .map_batches(block_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_WORD_COUNT = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 100
+"""
+
+
+def q_semi_join(sf_dir: str, threshold: float = 300_000.0):
+    """Distributed semi-join (EXISTS / IN-subquery): customers with at least
+    one order above the threshold (J3's complement — the Bloom anti-probe
+    pattern, inverted).
+
+    The key set is reduced distributed (per-block ``unique`` combiner →
+    groupby), broadcast ONCE via ``ray.put`` when under the size guard and
+    probed with vectorized ``np.isin``; above the guard it falls back to the
+    native shuffle ``Dataset.join``."""
+    import ray
+
+    def block_keys(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.greater(t["o_totalprice"], threshold))
+        return pa.table({"o_custkey": pc.unique(hit["o_custkey"].combine_chunks())})
+
+    keys_ds = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(block_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+    )
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    if keys_ds.count() > BROADCAST_MAX_ROWS:
+        return cust.join(
+            keys_ds, join_type="inner", num_partitions=16,
+            on=("c_custkey",), right_on=("o_custkey",),
+        ).select_columns(["c_custkey", "c_acctbal"])
+
+    keys = np.sort(keys_ds.to_pandas()["o_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+
+    def probe(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), k)
+        return t.filter(pa.array(mask))
+
+    return cust.map_batches(probe, batch_format="pyarrow")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""
+
+
+def q_pivot_status(sf_dir: str):
+    """Pivot via conditional aggregation: one row per order priority, one
+    revenue column per order status — the wide-table reshape done as masked
+    integer-cents partial sums inside map_batches (grid-exact, association-
+    order-free) + ONE narrow groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    statuses = ("F", "O", "P")
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cols = {"o_orderpriority": t["o_orderpriority"]}
+        for s in statuses:
+            cols[f"cents_{s.lower()}"] = pa.array(np.where(st == s, cents, 0))
+        return pa.table(cols)
+
+    return (
+        _rp(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("cents_f", alias_name="cents_f"),
+            Sum("cents_o", alias_name="cents_o"),
+            Sum("cents_p", alias_name="cents_p"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_p,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_rollup_orders(sf_dir: str):
+    """ROLLUP multi-level aggregate: (priority, status) → (priority) → ()
+    from ONE fine-grained shuffle; the coarser levels re-merge the ≤15-row
+    partial table on the driver instead of rescanning the input — the
+    partial-reuse pattern every profile/drift aggregate here is built on."""
+    from ray.data.aggregate import Count, Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "cents": pa.array(cents),
+        })
+
+    base = (
+        _rp(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("cents", alias_name="sum_cents"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    lvl1 = base.groupby("o_orderpriority", as_index=False)[["sum_cents", "n"]].sum()
+    lvl1["o_orderstatus"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+        "sum_cents": [base["sum_cents"].sum()], "n": [base["n"].sum()],
+    })
+    cols = ["o_orderpriority", "o_orderstatus", "sum_cents", "n"]
+    return pd.concat([base[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_value_histogram(sf_dir: str, width: float = 25_000.0):
+    """Fixed-width histogram of order totals with per-bin min/max — the
+    binned-distribution primitive behind the PSI/KS drift verdicts (A6),
+    driver-facing.  Bin ids via double divide + floor (bit-identical in
+    numpy and DuckDB); min/max are exact data values, so no float-reduction
+    ordering can flip the hash gate."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def bin_col(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array(np.floor(v / width).astype(np.int64)),
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    return (
+        _rp(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(bin_col, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("o_totalprice", alias_name="min_total"),
+            Max("o_totalprice", alias_name="max_total"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, count(*) AS n,
+       min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+FROM orders GROUP BY bin
+"""
+
+
+def q_supplier_quantiles(sf_dir: str):
+    """Per-group multi-quantile (p25/p50/p75/p95) in one bucketized grouped
+    pass — the exact-quantile generalization of `median_price` (A3/A6: the
+    reference's robust per-vendor percentiles, requirements.md:127).
+
+    Discrete quantile = sorted value at 0-based index ceil(q·n)−1, matching
+    DuckDB ``quantile_disc`` exactly (verified empirically) — an exact data
+    value, immune to interpolation/rounding drift."""
+    QS = (0.25, 0.5, 0.75, 0.95)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % 64))
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_suppkey", "l_extendedprice"], kind="mergesort")
+        keys = df["l_suppkey"].to_numpy()
+        vals = df["l_extendedprice"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        lens = np.diff(np.r_[starts, len(keys)])
+        out = {"l_suppkey": keys[starts]}
+        for q in QS:
+            idx = starts + np.ceil(q * lens).astype(np.int64) - 1
+            out[f"p{int(q * 100)}"] = vals[idx]
+        return pd.DataFrame(out)
+
+    return (
+        _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(quantiles, batch_format="pandas")
+        .select_columns(["l_suppkey", "p25", "p50", "p75", "p95"])
+    )
+
+
+SQL_SUPPLIER_QUANTILES = """
+SELECT l_suppkey,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75,
+       quantile_disc(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2323,6 +2582,12 @@ _ORACLE = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "word_count": SQL_WORD_COUNT,
+    "semi_join": SQL_SEMI_JOIN,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "supplier_quantiles": SQL_SUPPLIER_QUANTILES,
 }
 
 _QUERIES = {
@@ -2363,6 +2628,12 @@ _QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "bpe_token_count": q_bpe_token_count,
+    "word_count": q_word_count,
+    "semi_join": q_semi_join,
+    "pivot_status": q_pivot_status,
+    "rollup_orders": q_rollup_orders,
+    "value_histogram": q_value_histogram,
+    "supplier_quantiles": q_supplier_quantiles,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
