@@ -2542,6 +2542,170 @@ FROM lineitem GROUP BY l_suppkey
 """
 
 
+def q_dedup_components(sf_dir: str, max_iters: int = 50):
+    """Connected components over the exact n-gram Jaccard near-dup graph —
+    dedup CLUSTERING (entity resolution): every document labeled with the
+    smallest doc_id reachable through near-dup edges (J ≥ 0.8).
+
+    Edges come from the exact PPJoin near-dup query (`ngram_jaccard_pairs`,
+    itself oracle-checked); component labels are computed by DISTRIBUTED
+    min-label propagation — per round: symmetric-edge ``Dataset.join``
+    against the label table, union, per-node min.  Convergence is detected
+    by the label-sum fixpoint (min-labels decrease monotonically, so an
+    unchanged integer sum ⇔ no label changed — one cheap aggregate instead
+    of a diff join per round).  Rounds = graph diameter; near-dup clusters
+    are shallow.  The O(docs) label table stays a Dataset end-to-end — no
+    driver-side union-find."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    labels = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: pa.table({
+                "doc_id": pc.cast(
+                    t.filter(pc.is_valid(t["text"]))["doc_id"], pa.int64()
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "component": t["doc_id"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    edges_df = q_ngram_jaccard_pairs(sf_dir)[["a", "b"]]
+    if len(edges_df) == 0:
+        return labels
+    sym = pd.concat([
+        edges_df.rename(columns={"a": "src", "b": "dst"}),
+        edges_df.rename(columns={"a": "dst", "b": "src"})[["src", "dst"]],
+    ], ignore_index=True)
+    edges = rd.from_pandas(sym).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels, join_type="inner", num_partitions=8,
+                on=("src",), right_on=("doc_id",),
+            )
+            .select_columns(["dst", "component"])
+            .rename_columns({"dst": "doc_id"})
+        )
+        labels = (
+            labels.union(nbr)
+            .groupby("doc_id")
+            .aggregate(Min("component", alias_name="component"))
+            .materialize()
+        )
+        s = labels.sum("component")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select_columns(["doc_id", "component"])
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE
+e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, list(DISTINCT substr(text, i::INT, 5)) AS grams
+  FROM e GROUP BY doc_id
+),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.grams, b.grams)) AS inter,
+           len(a.grams) AS na, len(b.grams) AS nb
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  ) WHERE inter * 5 >= 4 * (na + nb - inter)
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM g
+  UNION
+  SELECT edg.dst, reach.r FROM reach JOIN edges edg ON reach.node = edg.src
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+def q_left_join_counts(sf_dir: str):
+    """Native LEFT OUTER shuffle join with null-fill: every customer and
+    its order count, 0 when no orders match (outer-join semantics — the
+    complement of the inner `join_native`)."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        _rp(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = _rp(sf_dir, "customer", ["c_custkey"]).join(
+        counts, join_type="left_outer", num_partitions=16,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0)
+        return pa.table({"c_custkey": t["c_custkey"], "n_orders": n})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_LEFT_JOIN_COUNTS = """
+SELECT c_custkey, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+ON c_custkey = o_custkey
+"""
+
+
+def q_priority_topk(sf_dir: str, k: int = 5):
+    """Per-group top-k with PARTIAL top-k pushdown (K1/K5 generalized
+    beyond top-1): each block keeps only its k best rows per group inside
+    map_batches, so the shuffle moves O(k · groups · blocks) rows — never
+    the full table — and the per-group finalize picks the k best of the
+    partials.  Deterministic total order (value desc, key asc) so ties
+    can't flip the hash gate."""
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True], kind="mergesort",
+            )
+            .groupby("o_orderpriority", sort=False)
+            .head(k)
+        )
+
+    return (
+        _rp(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+        .map_batches(topk, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(topk, batch_format="pandas")
+        .select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
+    )
+
+
+SQL_PRIORITY_TOPK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2588,6 +2752,9 @@ _ORACLE = {
     "rollup_orders": SQL_ROLLUP_ORDERS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "supplier_quantiles": SQL_SUPPLIER_QUANTILES,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
+    "left_join_counts": SQL_LEFT_JOIN_COUNTS,
+    "priority_topk": SQL_PRIORITY_TOPK,
 }
 
 _QUERIES = {
@@ -2634,6 +2801,9 @@ _QUERIES = {
     "rollup_orders": q_rollup_orders,
     "value_histogram": q_value_histogram,
     "supplier_quantiles": q_supplier_quantiles,
+    "dedup_components": q_dedup_components,
+    "left_join_counts": q_left_join_counts,
+    "priority_topk": q_priority_topk,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
