@@ -2706,6 +2706,258 @@ SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
 """
 
 
+def q_order_gap_days(sf_dir: str):
+    """LAG window: per order, whole days since the same customer's previous
+    order (-1 for the first) — the navigation-window companion to
+    q_running_total's cumulative frame.  Bucket shuffle on customer hash →
+    within-bucket (customer, date, key) sort → vectorized grouped diff.
+    Order dates are midnight-aligned timestamps, so the day diff is an exact
+    integer on both engines (DuckDB date_diff counts boundary crossings)."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % n_buckets))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        d = df.groupby("o_custkey", sort=False)["o_orderdate"].diff()
+        df["gap_days"] = d.dt.days.fillna(-1).astype(np.int64)
+        return df[["o_orderkey", "gap_days"]].reset_index(drop=True)
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .select_columns(["o_orderkey", "gap_days"])
+    )
+
+
+SQL_ORDER_GAP_DAYS = """
+SELECT o_orderkey,
+       COALESCE(date_diff('day',
+         lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         o_orderdate), -1) AS gap_days
+FROM orders
+"""
+
+
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE multi-level aggregate over (returnflag, linestatus):
+    all four grouping levels from ONE fine-grained shuffle; the coarser
+    levels (flag-only, status-only, grand total) re-merge the ≤6-row partial
+    table — integer-cents sums, so every re-aggregation is association-order
+    exact (the rollup pattern completed to the full lattice)."""
+    from ray.data.aggregate import Count, Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "cents": pa.array(cents),
+        })
+
+    base = (
+        _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("cents", alias_name="qty_cents"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    lvl_f = base.groupby("l_returnflag", as_index=False)[["qty_cents", "n"]].sum()
+    lvl_f["l_linestatus"] = "ALL"
+    lvl_s = base.groupby("l_linestatus", as_index=False)[["qty_cents", "n"]].sum()
+    lvl_s["l_returnflag"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "qty_cents": [base["qty_cents"].sum()], "n": [base["n"].sum()],
+    })
+    cols = ["l_returnflag", "l_linestatus", "qty_cents", "n"]
+    return pd.concat(
+        [base[cols], lvl_f[cols], lvl_s[cols], lvl0[cols]], ignore_index=True
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_full_outer_join(sf_dir: str):
+    """Native FULL OUTER shuffle join with genuine unmatched rows on BOTH
+    sides: per-customer urgent-order counts ⟗ per-user purchase-event
+    counts on customer-key = user-id (user ids are a subset of customer
+    keys, and urgent-order filtering drops customers — so the result mixes
+    matched, left-only and right-only rows, all COALESCE-filled)."""
+    from ray.data.aggregate import Count
+
+    left = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_urgent"))
+    )
+    right = (
+        _rp(sf_dir, "events", ["user_id", "event_type"])
+        .filter(expr="event_type == 'purchase'")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_purchases"))
+    )
+    joined = left.join(
+        right, join_type="full_outer", num_partitions=16,
+        on=("o_custkey",), right_on=("user_id",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        # Ray's outer join already coalesces the key into the left column
+        return pa.table({
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "n_urgent": pc.fill_null(pc.cast(t["n_urgent"], pa.int64()), 0),
+            "n_purchases": pc.fill_null(pc.cast(t["n_purchases"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_JOIN = """
+SELECT CAST(COALESCE(o.k, e.k) AS BIGINT) AS key,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_urgent,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_purchases
+FROM (SELECT o_custkey AS k, count(*) AS n FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT user_id AS k, count(*) AS n FROM events
+      WHERE event_type = 'purchase' GROUP BY 1) e
+ON o.k = e.k
+"""
+
+
+def q_string_agg_statuses(sf_dir: str):
+    """Ordered string aggregation (LISTAGG/string_agg): per customer, the
+    '|'-joined sequence of order statuses in (date, key) order — the
+    sequence-building groupby used for session/path features.  Bucket
+    shuffle on customer hash keeps whole customers co-located; the join is
+    a per-customer reduce inside the bucket, never a cross-bucket merge."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % n_buckets))
+
+    def joinseq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        out = (
+            df.groupby("o_custkey", sort=False)["o_orderstatus"]
+            .agg("|".join)
+            .reset_index()
+        )
+        out.columns = ["o_custkey", "status_seq"]
+        return out
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(joinseq, batch_format="pandas")
+        .select_columns(["o_custkey", "status_seq"])
+    )
+
+
+SQL_STRING_AGG_STATUSES = """
+SELECT o_custkey,
+       string_agg(o_orderstatus, '|' ORDER BY o_orderdate, o_orderkey) AS status_seq
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_intersect_users(sf_dir: str):
+    """INTERSECT set operation: users that appear in BOTH the click and the
+    purchase event streams — done as masked per-type flags + ONE groupby
+    max (no second scan, no distinct-union shuffle), the cheapest
+    distributed form of a set intersection over one table."""
+    from ray.data.aggregate import Max
+
+    def project(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "is_click": pa.array((et == "click").astype(np.int64)),
+            "is_purchase": pa.array((et == "purchase").astype(np.int64)),
+        })
+
+    return (
+        _rp(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("is_click", alias_name="has_click"),
+            Max("is_purchase", alias_name="has_purchase"),
+        )
+        .filter(expr="has_click == 1 and has_purchase == 1")
+        .select_columns(["user_id"])
+    )
+
+
+SQL_INTERSECT_USERS = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-group mode (most frequent value, deterministic lexicographic
+    tiebreak): the arg-max-by-count aggregate.  One fine (user, type)
+    groupby count, then a per-block top-1 partial so the second shuffle
+    moves at most one row per user per block, finished per user inside a
+    hash bucket (the priority_topk pushdown specialized to k=1)."""
+    from ray.data.aggregate import Count
+
+    n_buckets = 64
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.groupby("user_id", sort=False).head(1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k % n_buckets))
+
+    return (
+        _rp(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(top1, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(top1, batch_format="pandas")
+        .select_columns(["user_id", "event_type", "n"])
+    )
+
+
+SQL_MODE_EVENT_TYPE = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY count(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2755,6 +3007,12 @@ _ORACLE = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "left_join_counts": SQL_LEFT_JOIN_COUNTS,
     "priority_topk": SQL_PRIORITY_TOPK,
+    "order_gap_days": SQL_ORDER_GAP_DAYS,
+    "cube_orders": SQL_CUBE_ORDERS,
+    "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "string_agg_statuses": SQL_STRING_AGG_STATUSES,
+    "intersect_users": SQL_INTERSECT_USERS,
+    "mode_event_type": SQL_MODE_EVENT_TYPE,
 }
 
 _QUERIES = {
@@ -2804,6 +3062,12 @@ _QUERIES = {
     "dedup_components": q_dedup_components,
     "left_join_counts": q_left_join_counts,
     "priority_topk": q_priority_topk,
+    "order_gap_days": q_order_gap_days,
+    "cube_orders": q_cube_orders,
+    "full_outer_join": q_full_outer_join,
+    "string_agg_statuses": q_string_agg_statuses,
+    "intersect_users": q_intersect_users,
+    "mode_event_type": q_mode_event_type,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
