@@ -2958,6 +2958,269 @@ SELECT user_id, event_type, n FROM (
 """
 
 
+def q_global_rank(sf_dir: str, k: int = 8):
+    """GLOBAL row_number + NTILE over the whole table — the one window shape
+    no per-key cogroup can express (every prior window partitions by a key).
+    Distributed pattern: (1) one cheap aggregate pass for min/max/count,
+    (2) value-range bucketing (equal values always share a bucket, so
+    cross-bucket ties are impossible), (3) exact per-bucket counts →
+    driver-side exclusive prefix-sum over ≤256 small integers, (4) per-bucket
+    local sort + offset.  Nothing larger than the 256-row count table ever
+    leaves the workers; at scale the two data passes stream.  A production
+    variant would pick boundaries from a quantile sketch for balance — the
+    ranks are exact regardless of boundary placement."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    stats = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"), Count())
+    lo = float(stats["min(o_totalprice)"])
+    hi = float(stats["max(o_totalprice)"])
+    n = int(stats["count()"])
+    n_bins = 256
+    width = (hi - lo) / n_bins or 1.0
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.clip(((hi - v) / width).astype(np.int64), 0, n_bins - 1)
+        return t.append_column("bin", pa.array(b))
+
+    counts = (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    cum = np.concatenate([[0], np.cumsum(counts["c"].to_numpy())[:-1]])
+    offsets = {int(b): int(o) for b, o in zip(counts["bin"], cum)}
+    # SQL NTILE(k): the first n % k tiles get ceil(n/k) rows, the rest floor
+    q_, r_ = divmod(n, k)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        )
+        rn = offsets[int(df["bin"].iloc[0])] + np.arange(1, len(df) + 1)
+        if q_ == 0:
+            tile = rn
+        else:
+            big = r_ * (q_ + 1)
+            tile = np.where(
+                rn <= big,
+                (rn - 1) // (q_ + 1) + 1,
+                r_ + (rn - big - 1) // q_ + 1,
+            )
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "rn": rn.astype(np.int64),
+            "tile": tile.astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+       CAST(ntile(8) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS tile
+FROM orders
+"""
+
+
+def q_shipping_priority(sf_dir: str, cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3-shaped multi-way join aggregate: customer(filter segment)
+    ⋈ orders(filter date) ⋈ lineitem(filter date) → per-order revenue →
+    global top-k.  Scale shape: lineitem is PRE-AGGREGATED to one row per
+    orderkey before any join (the combiner cuts the big side ~4×); both
+    joins are native hash-shuffle joins on the same key family; the final
+    top-k uses the per-block-partial pushdown so only O(k·blocks) rows reach
+    the driver.  Revenue as exact integer: cents(extprice) × (100 −
+    pct(discount)) — association-order-proof int64 sums."""
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
+
+    def li_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        ext = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pct = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_cents": pa.array(ext * (100 - pct)),
+        })
+
+    revenue = (
+        _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(li_project, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def o_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], cut))
+        return t.select(["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    orders = _rp(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(o_project, batch_format="pyarrow")
+
+    def c_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+        return t.select(["c_custkey"])
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        c_project, batch_format="pyarrow"
+    )
+
+    # The customer restriction applies as a guarded-broadcast semi-join so
+    # the lazy plan holds at most ONE shuffle join (two joins in one plan
+    # can starve each other's actor pools on small CPU reservations); above
+    # the guard the filtered-orders side is materialized between the joins.
+    import ray
+
+    if cust.count() <= BROADCAST_MAX_ROWS:
+        keys_ref = ray.put(np.sort(cust.to_pandas()["c_custkey"].to_numpy()))
+
+        def probe(t: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), k)
+            return t.filter(pa.array(mask))
+
+        orders_f = orders.map_batches(probe, batch_format="pyarrow")
+    else:
+        orders_f = orders.join(
+            cust, join_type="inner", num_partitions=16,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).materialize()
+
+    joined = revenue.join(
+        orders_f, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    out = (
+        joined.select_columns(["l_orderkey", "o_orderpriority", "revenue_cents"])
+        .map_batches(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return topk(out).reset_index(drop=True)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderpriority, revenue_cents FROM (
+  SELECT l.l_orderkey, o.o_orderpriority,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l.l_orderkey, o.o_orderpriority
+) ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_except_users(sf_dir: str):
+    """EXCEPT set op (complement of q_intersect_users): (user, day) pairs
+    with a click but no purchase that day.  Single-scan shape — masked
+    per-type flags, one groupby max, then a vectorized filter; no second
+    scan, no anti-join shuffle."""
+    from ray.data.aggregate import Max
+
+    def flags(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "has_a": pc.cast(pc.equal(et, pa.scalar("click")), pa.int8()),
+            "has_b": pc.cast(pc.equal(et, pa.scalar("purchase")), pa.int8()),
+        })
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["has_a"], pa.scalar(1, pa.int8())),
+                    pc.equal(t["has_b"], pa.scalar(0, pa.int8())))
+        t = t.filter(m)
+        # µs resolution to match DuckDB's date_trunc dtype exactly
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.cast(t["day"], pa.timestamp("us")),
+        })
+
+    return (
+        _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Max("has_a", alias_name="has_a"), Max("has_b", alias_name="has_b"))
+        .map_batches(keep, batch_format="pyarrow")
+    )
+
+
+SQL_EXCEPT_USERS = """
+SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_dense_rank(sf_dir: str):
+    """Per-group DENSE_RANK (ties share a rank, no gaps): each order ranked
+    within its customer by totalprice descending.  Bucket cogroup on the
+    customer hash — the same skew-proof shape as q_order_gap_days — with the
+    rank computed by a grouped vectorized pandas rank (dense), which is
+    tie-stable, so no tiebreak column is needed for hash-gate determinism."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(c % n_buckets))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            df.groupby("o_custkey", sort=False)["o_totalprice"]
+            .rank(method="dense", ascending=False)
+            .astype(np.int64)
+        )
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "drank": r.to_numpy(),
+        })
+
+    return (
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank, batch_format="pandas")
+        .select_columns(["o_orderkey", "drank"])
+    )
+
+
+SQL_DENSE_RANK = """
+SELECT o_orderkey,
+       CAST(dense_rank() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drank
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3013,6 +3276,10 @@ _ORACLE = {
     "string_agg_statuses": SQL_STRING_AGG_STATUSES,
     "intersect_users": SQL_INTERSECT_USERS,
     "mode_event_type": SQL_MODE_EVENT_TYPE,
+    "global_rank": SQL_GLOBAL_RANK,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "except_users": SQL_EXCEPT_USERS,
+    "dense_rank": SQL_DENSE_RANK,
 }
 
 _QUERIES = {
@@ -3068,6 +3335,10 @@ _QUERIES = {
     "string_agg_statuses": q_string_agg_statuses,
     "intersect_users": q_intersect_users,
     "mode_event_type": q_mode_event_type,
+    "global_rank": q_global_rank,
+    "shipping_priority": q_shipping_priority,
+    "except_users": q_except_users,
+    "dense_rank": q_dense_rank,
     # rows-only (no SQL equivalent)
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
