@@ -1387,6 +1387,73 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_media_resize(sf_dir: str):
+    """Multimodal resize plumbing: binary payloads → actor-pool resize →
+    re-encoded binary thumbnails + dims (codec stubbed; schema, actor setup
+    and small-batch sizing are the real Ray plumbing under test).  Returns
+    id, kind, dims and thumbnail size — not the raw bytes — so the driver's
+    rows check stays cheap."""
+    from sievedata.functions.media import MediaResizer
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
+            "kind": pa.array(["image"] * t.num_rows, pa.string()),
+            "payload": pc.cast(t["text"].combine_chunks(), pa.binary()),
+        })
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "width": t["width"],
+            "height": t["height"],
+            "thumb_bytes": pc.binary_length(t["payload"]),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            MediaResizer,
+            batch_format="pyarrow",
+            batch_size=256,  # small batches: media payloads are wide rows
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"width": 64, "height": 64, "fake": True},
+        )
+        .map_batches(summarize, batch_format="pyarrow")
+    )
+
+
+def q_frame_sample(sf_dir: str, n_frames: int = 4):
+    """Multimodal frame sampling: video rows → actor-pool 1→N frame explode
+    (inside map_batches, bounded blocks) → per-frame feature rows.  Duration
+    is synthesized deterministically from the payload length so the fake
+    decode is stable across runs."""
+    from sievedata.functions.media import FrameSampler
+
+    def to_video(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        dur = pc.cast(pc.multiply(pc.utf8_length(text), pa.scalar(40)), pa.int32())
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
+            "payload": pc.cast(text, pa.binary()),
+            "duration_ms": dur,
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_video, batch_format="pyarrow")
+        .map_batches(
+            FrameSampler,
+            batch_format="pyarrow",
+            batch_size=128,  # explode multiplies rows n_frames×
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"n_frames": n_frames, "fake": True},
+        )
+    )
+
+
 def q_embedding_norms(sf_dir: str):
     """L2 norms per embedding (vectorized numpy over Arrow lists)."""
 
@@ -3346,6 +3413,8 @@ _QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "frame_sample": q_frame_sample,
     "validate_flagship": q_validate_flagship,
     "score_flagship": q_score_flagship,
 }

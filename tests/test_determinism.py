@@ -7,7 +7,8 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 ROWS_ONLY = ["lang_id", "fingerprint", "simhash", "minhash_near_dups",
-             "simhash_near_dups", "media_features", "ann_ivf_topk"]
+             "simhash_near_dups", "media_features", "media_resize",
+             "frame_sample", "ann_ivf_topk"]
 
 
 def _canon(res) -> pd.DataFrame:
@@ -29,3 +30,15 @@ def test_rows_only_deterministic(ray_session, name):
     b = _canon(fn(SF))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_frame_sample_multiplicity(ray_session):
+    """The 1→N frame explode emits exactly n_frames rows per media row."""
+    import pyarrow.parquet as pq
+
+    from sievedata.queries import queries
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    df = _canon(queries()["frame_sample"](SF))
+    assert len(df) == 4 * n_docs
+    assert set(df["frame_index"].astype(int)) == {0, 1, 2, 3}
