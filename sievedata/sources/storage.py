@@ -48,9 +48,12 @@ def _is_lance(path: str) -> bool:
 def read_documents(path: str, columns: list[str] | None = None, **kwargs: Any):
     """Read a documents table (or any table) as a ray.data.Dataset.
 
-    ``path`` may be a parquet file, a directory of parquet parts, or a
-    ``.lance`` dataset when lance is installed.  Column pruning is pushed to
-    the reader.
+    ``path`` may be a parquet file or a directory of parquet parts (the
+    default backend), a ``.jsonl``/``.json`` line-delimited dump (the
+    reference's ingest format), a ``.csv``, or a ``.lance`` dataset when
+    lance is installed.  Column pruning is pushed to the reader where the
+    format supports it (parquet/lance); row-based formats read fully and
+    project after — prefer parquet for wide tables at scale.
     """
     import ray.data as rd
 
@@ -61,7 +64,43 @@ def read_documents(path: str, columns: list[str] | None = None, **kwargs: Any):
                 "use Parquet (the default backend) in this environment."
             )
         return rd.read_lance(path, columns=columns, **kwargs)
+    fmt = _sniff_format(path)
+    if fmt == "json":
+        ds = rd.read_json(path, **kwargs)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    if fmt == "csv":
+        ds = rd.read_csv(path, **kwargs)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _sniff_format(path: str) -> str:
+    """Route by file extension; for a local directory, by the extension of
+    the first data file inside (one listdir — no data read)."""
+    import os
+
+    def ext_of(name: str) -> str:
+        if name.endswith((".jsonl", ".json")):
+            return "json"
+        if name.endswith(".csv"):
+            return "csv"
+        if name.endswith(".parquet"):
+            return "parquet"
+        return ""
+
+    e = ext_of(path)
+    if e:
+        return e
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            e = ext_of(entry)
+            if e:
+                return e
+    return "parquet"
 
 
 read_table = read_documents
