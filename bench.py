@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "minhash_near_dups",
     "simhash_near_dups",
+    "global_rank",
+    "shipping_priority",
+    "ngram_jaccard_pairs",
+    "word_count",
+    "frame_sample",
 ]
 
 

@@ -13,6 +13,8 @@ Conventions:
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1130,12 +1132,276 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 12, n_tables: int = 4):
     return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _ppjoin_pairs_bucket(df: pd.DataFrame, num: int, den: int) -> pd.DataFrame:
+    """Candidate pairs from one prefix-gram hash bucket: for every gram
+    shared by ≥2 docs, emit doc pairs surviving the PPJoin LENGTH filter
+    (t·|B| ≤ |A|) and POSITIONAL filter (overlap upper bound
+    1 + min(|A|−pa−1, |B|−pb−1) must reach α = ⌈t/(1+t)·(|A|+|B|)⌉)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
+    for _, g in df[sizes >= 2].groupby("gram", sort=False):
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        nn = g["doc_n"].to_numpy()
+        pos = g["pos"].to_numpy()
+        i, j = np.triu_indices(len(ids), 1)
+        na, nb = nn[i], nn[j]
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        alpha = (num * (na + nb) + num + den - 1) // (num + den)
+        ubound = 1 + np.minimum(na - pos[i] - 1, nb - pos[j] - 1)
+        keep = (lo * den >= num * hi) & (ubound >= alpha)
+        out_a.append(ids[i][keep])
+        out_b.append(ids[j][keep])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.DataFrame(
+        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    ).drop_duplicates()
+
+
+def _ppjoin_pair_bucket_col(t: pa.Table, n_buckets: int) -> pa.Table:
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    pb = ((a * np.int64(1_000_003) + b) % n_buckets).astype(np.int64)
+    return t.append_column("pair_bucket", pa.array(pb))
+
+
+def _ppjoin_dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+
+_NGRAM_VOCAB_BROADCAST_LIMIT = 4_000_000  # grams; ~64 MB of (gram, df) pairs
+_NGRAM_DF_CAP = (1 << 19) - 1  # df saturates here; order stays total via gram tiebreak
+
+
 def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
     """EXACT char n-gram Jaccard near-dup pairs ≥ num/den — the PPJoin
     algorithm (Xiao et al., WWW'08: AllPairs prefix filtering + positional
-    and length filters) as three narrow hash-partitioned shuffles; no
-    driver-side corpus state, no O(N²) candidate generation, and (unlike
-    MinHash/SimHash) zero recall loss:
+    and length filters), zero recall loss, no O(N²) candidate generation.
+
+    Fast path (ASCII corpus, gram vocabulary small enough to broadcast):
+    1. one vocab-sized document-frequency aggregate — per-batch partial
+       counts of packed-uint64 grams → ``groupby(gram).sum`` (output is
+       VOCAB-sized, not corpus-sized) → broadcast as two sorted numpy
+       arrays (``ray.put`` once, searchsorted lookup in every task).
+    2. one map_batches pass re-reads documents and does gramming + df
+       lookup + (df, gram)-ordered PPJoin prefix selection entirely
+       batch-locally — the two per-key shuffles of the generic path
+       disappear.  df saturates at _NGRAM_DF_CAP; the order stays total
+       (gram tiebreak), and ANY total order is correct for prefix
+       filtering — df-ordering is the recall-friendly heuristic only.
+    3. prefix grams shuffle ONCE by gram hash → vectorized candidate pairs
+       (length + positional filters) → pair-hash shuffle dedups.
+    4. verification: distributed distinct-doc count over candidate pairs;
+       if the candidate doc set is provably small, their texts broadcast
+       once and pairs verify in map_batches via the indexed searchsorted
+       kernel (kernels/grams.py) — no join; else two hash joins ship texts.
+
+    Falls back to :func:`_ngram_pairs_generic` (string grams, shuffle df /
+    prefix stages, same semantics) when a non-ASCII batch is detected, the
+    vocabulary exceeds the broadcast limit, or n > 5."""
+    if n <= 5:
+        res = _ngram_pairs_ascii_fast(sf_dir, num, den, n)
+        if res is not None:
+            return res
+    return _ngram_pairs_generic(sf_dir, num, den, n)
+
+
+def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
+    import ray
+
+    from sievedata.kernels import grams as G
+    from sievedata.sketches.hashing import _splitmix64
+
+    n_buckets = 64
+    tag_bits = np.uint64(8 * n + 3)
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        if not G.is_ascii(txt):  # sentinel row → caller falls back
+            return pa.table({"gram": pa.array([-1], pa.int64()),
+                             "cnt": pa.array([1], pa.int64())})
+        _, gram, _ = G.distinct_grams_packed(txt, n)
+        uniq, cnt = np.unique(gram, return_counts=True)
+        return pa.table({"gram": pa.array(uniq.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    df_tbl = (docs.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("gram").sum("cnt")
+              .materialize())  # vocab-sized; one execution for count + pull
+    if df_tbl.count() > _NGRAM_VOCAB_BROADCAST_LIMIT:
+        return None
+    pdf = df_tbl.to_pandas()  # vocab-sized (guarded above)
+    gram_vals = pdf["gram"].to_numpy()
+    if len(gram_vals) and gram_vals.min() < 0:
+        return None  # non-ASCII batch seen
+    order = np.argsort(gram_vals)
+    dfs = np.minimum(pdf["sum(cnt)"].to_numpy()[order], _NGRAM_DF_CAP)
+    lut_ref = ray.put((gram_vals[order].astype(np.int64),
+                       dfs.astype(np.uint64)))
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        key = lut_ref.hex()
+        cached = _LUT_CACHE.get(key)
+        if cached is None:
+            cached = ray.get(lut_ref)
+            _LUT_CACHE.clear()
+            _LUT_CACHE[key] = cached
+        gs, dfv_tab = cached
+        txt = t["text"].combine_chunks()
+        doc_idx, gram, doc_n = G.distinct_grams_packed(txt, n)
+        dfv = dfv_tab[np.searchsorted(gs, gram.astype(np.int64))]
+        okey = (dfv << tag_bits) | gram  # total (df, gram) order
+        order = np.lexsort((okey, doc_idx))
+        doc_s = doc_idx[order]
+        gram_s = gram[order]
+        starts = np.concatenate(([0], np.cumsum(doc_n)))
+        rank = np.arange(len(gram_s), dtype=np.int64) - np.repeat(
+            starts[:-1], doc_n
+        )
+        dnr = doc_n[doc_s]
+        L = dnr - (num * dnr + den - 1) // den + 1
+        keep = rank < L
+        ids_np = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g_out = gram_s[keep]
+        gb = (_splitmix64(g_out) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "gram": pa.array(g_out.astype(np.int64)),
+            "doc_id": pa.array(ids_np[doc_s[keep]]),
+            "doc_n": pa.array(dnr[keep]),
+            "pos": pa.array(rank[keep]),
+            "gbucket": pa.array(gb),
+        })
+
+    pairs = (
+        docs.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(functools.partial(_ppjoin_pairs_bucket, num=num, den=den),
+                    batch_format="pandas")
+        .map_batches(functools.partial(_ppjoin_pair_bucket_col,
+                                       n_buckets=n_buckets),
+                     batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(_ppjoin_dedup_group, batch_format="pandas")
+        .materialize()  # candidate pairs only (output-sized)
+    )
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                          for c in ("a", "b", "inter", "uni")})
+    if pairs.count() == 0:
+        return empty
+
+    texts = _rp(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = texts.count()  # parquet metadata — no data read
+    wanted_ids = None
+    if n_docs > 50_000:
+        # corpus too big to broadcast whole — is the candidate DOC set
+        # small?  Distributed distinct over pair endpoints (vocab-sized).
+        def emit_ids(t: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([
+                t["a"].combine_chunks().cast(pa.int64()),
+                t["b"].combine_chunks().cast(pa.int64()),
+            ])
+            return pa.table({"doc": both})
+
+        wanted_ds = (pairs.map_batches(emit_ids, batch_format="pyarrow")
+                     .groupby("doc").count()
+                     .materialize())  # ≤ one row per candidate doc
+        if wanted_ds.count() <= 50_000:
+            wanted_ids = np.sort(
+                wanted_ds.to_pandas()["doc"].to_numpy().astype(np.int64)
+            )
+
+    if n_docs <= 50_000 or wanted_ids is not None:
+        # candidate texts are provably small: PRE-PACK their gram sets once
+        # (CSR uint64 arrays), broadcast via ray.put, and verify pairs in
+        # parallel map_batches — no shuffle join, no per-batch re-packing
+        if wanted_ids is not None:
+            wanted_ref = ray.put(wanted_ids)
+
+            def keep_wanted(t: pa.Table) -> pa.Table:
+                w = ray.get(wanted_ref)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(np.isin(ids, w)))
+
+            texts = texts.map_batches(keep_wanted, batch_format="pyarrow")
+        tdf = texts.to_pandas()
+        ids_np = tdf["doc_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids_np)
+        txt_arr = pa.array(tdf["text"].to_numpy()[order], pa.string())
+        gram_p, starts_p, doc_n_p = G.pack_doc_grams(txt_arr, n)
+        pack_ref = ray.put((ids_np[order], gram_p, starts_p, doc_n_p))
+
+        def verify_batch(t: pa.Table) -> pa.Table:
+            key = pack_ref.hex()
+            pack = _LUT_CACHE.get(key)
+            if pack is None:
+                pack = ray.get(pack_ref)
+                _LUT_CACHE.clear()
+                _LUT_CACHE[key] = pack
+            ids_s, gram_c, starts_c, dn_c = pack
+            a_ids = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b_ids = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            a_idx = np.searchsorted(ids_s, a_ids)
+            b_idx = np.searchsorted(ids_s, b_ids)
+            inter, uni = G.intersect_packed(
+                gram_c, starts_c, dn_c, a_idx, b_idx, n
+            )
+            keep = inter * den >= num * uni
+            return pa.table(
+                {"a": pa.array(a_ids), "b": pa.array(b_ids),
+                 "inter": pa.array(inter), "uni": pa.array(uni)}
+            ).filter(pa.array(keep))
+
+        out = pairs.map_batches(verify_batch, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()
+    else:
+        joined = pairs.join(
+            texts, join_type="inner", num_partitions=16,
+            on=("a",), right_on=("doc_id",), right_suffix="_a",
+        ).join(
+            texts, join_type="inner", num_partitions=16,
+            on=("b",), right_on=("doc_id",), right_suffix="_b",
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            ta_col = t["text"] if "text" in t.column_names else t["text_a"]
+            if isinstance(ta_col, pa.ChunkedArray):
+                ta_col = ta_col.combine_chunks()
+            tb_col = t["text_b"].combine_chunks() if isinstance(
+                t["text_b"], pa.ChunkedArray) else t["text_b"]
+            a_ids = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b_ids = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = np.concatenate([a_ids, b_ids])
+            uniq, first, inv = np.unique(ids, return_index=True,
+                                         return_inverse=True)
+            doc_texts = pa.concat_arrays([ta_col, tb_col]).take(pa.array(first))
+            inter, uni = G.pair_jaccard_counts_indexed(
+                doc_texts, inv[: len(a_ids)], inv[len(a_ids):], n
+            )
+            keep = inter * den >= num * uni
+            return pa.table(
+                {"a": pa.array(a_ids), "b": pa.array(b_ids),
+                 "inter": pa.array(inter), "uni": pa.array(uni)}
+            ).filter(pa.array(keep))
+
+        out = joined.map_batches(verify, batch_format="pyarrow",
+                                 batch_size=8192).to_pandas()
+
+    if out.empty:
+        return empty
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _ngram_pairs_generic(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
+    """EXACT char n-gram Jaccard near-dup pairs — generic PPJoin path for
+    corpora the broadcast fast path can't serve (non-ASCII text or a gram
+    vocabulary too large to broadcast): same semantics, with the df and
+    prefix stages as hash-partitioned shuffles over string grams:
 
     1. (gram, doc_id, doc_n) rows over each doc's DISTINCT gram set.
     2. bucket by hash(gram): a gram's rows co-locate, so document frequency
@@ -1167,24 +1433,39 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
 
     n_buckets = 128
 
+    from sievedata.kernels import grams as G
+
     def gram_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        txts = t["text"].to_pylist()
-        out_g: list[str] = []
-        out_id: list[int] = []
-        out_n: list[int] = []
-        for d, tx in zip(ids, txts):
-            if tx is None:  # SQL oracle: WHERE text IS NOT NULL
-                continue
-            grams = {tx[i: i + n] for i in range(max(len(tx) - n + 1, 1))}
-            out_g.extend(grams)
-            out_id.extend([int(d)] * len(grams))
-            out_n.extend([len(grams)] * len(grams))
-        tbl = pa.table(
-            {"gram": pa.array(out_g, pa.string()),
-             "doc_id": pa.array(out_id, pa.int64()),
-             "doc_n": pa.array(out_n, pa.int64())}
-        )
+        txt_col = t["text"].combine_chunks()
+        if G.is_ascii(txt_col):
+            # vectorized: packed-uint64 windows + one np.unique per batch;
+            # decoded back to the exact char grams so ASCII and non-ASCII
+            # batches shuffle one consistent string column
+            doc_idx, packed, doc_n = G.distinct_grams_packed(txt_col, n)
+            ids_np = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tbl = pa.table(
+                {"gram": G.packed_to_strings(packed, n),
+                 "doc_id": pa.array(ids_np[doc_idx], pa.int64()),
+                 "doc_n": pa.array(doc_n[doc_idx], pa.int64())}
+            )
+        else:  # exact scalar fallback for non-ASCII batches
+            ids = t["doc_id"].to_pylist()
+            txts = txt_col.to_pylist()
+            out_g: list[str] = []
+            out_id: list[int] = []
+            out_n: list[int] = []
+            for d, tx in zip(ids, txts):
+                if tx is None:  # SQL oracle: WHERE text IS NOT NULL
+                    continue
+                grams = {tx[i: i + n] for i in range(max(len(tx) - n + 1, 1))}
+                out_g.extend(grams)
+                out_id.extend([int(d)] * len(grams))
+                out_n.extend([len(grams)] * len(grams))
+            tbl = pa.table(
+                {"gram": pa.array(out_g, pa.string()),
+                 "doc_id": pa.array(out_id, pa.int64()),
+                 "doc_n": pa.array(out_n, pa.int64())}
+            )
         gb = (hash64(tbl["gram"].combine_chunks(), seed=37) % np.uint64(n_buckets)).astype(np.int64)
         return tbl.append_column("gbucket", pa.array(gb))
 
@@ -1209,37 +1490,6 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
         gb = (hash64(t["gram"].combine_chunks(), seed=37) % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("gbucket2", pa.array(gb))
 
-    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
-        for _, g in df[sizes >= 2].groupby("gram", sort=False):
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            nn = g["doc_n"].to_numpy()
-            pos = g["pos"].to_numpy()
-            i, j = np.triu_indices(len(ids), 1)
-            na, nb = nn[i], nn[j]
-            lo = np.minimum(na, nb)
-            hi = np.maximum(na, nb)
-            alpha = (num * (na + nb) + num + den - 1) // (num + den)
-            ubound = 1 + np.minimum(na - pos[i] - 1, nb - pos[j] - 1)
-            keep = (lo * den >= num * hi) & (ubound >= alpha)
-            out_a.append(ids[i][keep])
-            out_b.append(ids[j][keep])
-        if not out_a:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        ).drop_duplicates()
-
-    def add_pair_bucket(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        pb = ((a * np.int64(1_000_003) + b) % n_buckets).astype(np.int64)
-        return t.append_column("pair_bucket", pa.array(pb))
-
     pairs = (
         _rp(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(gram_rows, batch_format="pyarrow")
@@ -1249,13 +1499,13 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
         .map_groups(prefix_select, batch_format="pandas")
         .map_batches(regram_bucket, batch_format="pyarrow")
         .groupby("gbucket2")
-        .map_groups(pairs_bucket, batch_format="pandas")
-        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .map_groups(functools.partial(_ppjoin_pairs_bucket, num=num, den=den),
+                    batch_format="pandas")
+        .map_batches(functools.partial(_ppjoin_pair_bucket_col,
+                                       n_buckets=n_buckets),
+                     batch_format="pyarrow")
         .groupby("pair_bucket")
-        .map_groups(
-            lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
-            batch_format="pandas",
-        )
+        .map_groups(_ppjoin_dedup_group, batch_format="pandas")
         .materialize()  # candidate pairs only (output-sized)
     )
 
@@ -1264,12 +1514,6 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
     n_pairs = pairs.count()
     if n_pairs == 0:
         return empty
-
-    def _pair_counts(ta: str, tb: str) -> tuple[int, int]:
-        A = {ta[i: i + n] for i in range(max(len(ta) - n + 1, 1))}
-        B = {tb[i: i + n] for i in range(max(len(tb) - n + 1, 1))}
-        inter = len(A & B)
-        return inter, len(A) + len(B) - inter
 
     texts = _rp(sf_dir, "documents", ["doc_id", "text"])
     wanted = None
@@ -1285,7 +1529,8 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
 
         def keep_wanted(t: pa.Table) -> pa.Table:
             w = ray.get(wanted_ref)
-            keep = [int(d) in w for d in t["doc_id"].to_pylist()]
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.isin(ids, np.fromiter(w, dtype=np.int64, count=len(w)))
             return t.filter(pa.array(keep))
 
         tdf = texts.map_batches(keep_wanted, batch_format="pyarrow").to_pandas()
@@ -1298,18 +1543,22 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
                 lut = ray.get(lut_ref)
                 _LUT_CACHE.clear()
                 _LUT_CACHE[key] = lut
-            a_l = [int(x) for x in t["a"].to_pylist()]
-            b_l = [int(x) for x in t["b"].to_pylist()]
-            counts = [_pair_counts(lut[a], lut[b]) for a, b in zip(a_l, b_l)]
-            inter = np.array([c[0] for c in counts], dtype=np.int64)
-            uni = np.array([c[1] for c in counts], dtype=np.int64)
+            a_ids = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b_ids = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = np.concatenate([a_ids, b_ids])
+            uniq, inv = np.unique(ids, return_inverse=True)
+            doc_texts = pa.array([lut[int(d)] for d in uniq], pa.string())
+            inter, uni = G.pair_jaccard_counts_indexed(
+                doc_texts, inv[: len(a_ids)], inv[len(a_ids):], n
+            )
             keep = inter * den >= num * uni
             return pa.table(
-                {"a": pa.array(a_l, pa.int64()), "b": pa.array(b_l, pa.int64()),
+                {"a": pa.array(a_ids), "b": pa.array(b_ids),
                  "inter": pa.array(inter), "uni": pa.array(uni)}
             ).filter(pa.array(keep))
 
-        out = pairs.map_batches(verify_batch, batch_format="pyarrow").to_pandas()
+        out = pairs.map_batches(verify_batch, batch_format="pyarrow",
+                                batch_size=8192).to_pandas()
     else:
         joined = pairs.join(
             texts, join_type="inner", num_partitions=16,
@@ -1321,17 +1570,28 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
 
         def verify(t: pa.Table) -> pa.Table:
             ta_col = t["text"] if "text" in t.column_names else t["text_a"]
-            counts = [_pair_counts(ta, tb) for ta, tb in
-                      zip(ta_col.to_pylist(), t["text_b"].to_pylist())]
-            inter = np.array([c[0] for c in counts], dtype=np.int64)
-            uni = np.array([c[1] for c in counts], dtype=np.int64)
+            if isinstance(ta_col, pa.ChunkedArray):
+                ta_col = ta_col.combine_chunks()
+            tb_col = t["text_b"].combine_chunks() if isinstance(
+                t["text_b"], pa.ChunkedArray) else t["text_b"]
+            a_ids = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b_ids = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = np.concatenate([a_ids, b_ids])
+            uniq, first, inv = np.unique(ids, return_index=True,
+                                         return_inverse=True)
+            texts_all = pa.concat_arrays([ta_col, tb_col])
+            doc_texts = texts_all.take(pa.array(first))
+            inter, uni = G.pair_jaccard_counts_indexed(
+                doc_texts, inv[: len(a_ids)], inv[len(a_ids):], n
+            )
             keep = inter * den >= num * uni
             return pa.table(
                 {"a": t["a"], "b": t["b"],
                  "inter": pa.array(inter), "uni": pa.array(uni)}
             ).filter(pa.array(keep))
 
-        out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+        out = joined.map_batches(verify, batch_format="pyarrow",
+                                 batch_size=8192).to_pandas()
 
     if out.empty:
         return empty
