@@ -1175,6 +1175,7 @@ def _ppjoin_dedup_group(df: pd.DataFrame) -> pd.DataFrame:
 
 _NGRAM_VOCAB_BROADCAST_LIMIT = 4_000_000  # grams; ~64 MB of (gram, df) pairs
 _NGRAM_DF_CAP = (1 << 19) - 1  # df saturates here; order stays total via gram tiebreak
+_BITSET_BYTES_LIMIT = 64 << 20  # docs × vocab-bitset bytes worth broadcasting
 
 
 def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
@@ -1240,6 +1241,7 @@ def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
     if len(gram_vals) and gram_vals.min() < 0:
         return None  # non-ASCII batch seen
     order = np.argsort(gram_vals)
+    vocab_u64 = gram_vals[order].astype(np.uint64)  # for bitset verify
     dfs = np.minimum(pdf["sum(cnt)"].to_numpy()[order], _NGRAM_DF_CAP)
     lut_ref = ray.put((gram_vals[order].astype(np.int64),
                        dfs.astype(np.uint64)))
@@ -1334,7 +1336,16 @@ def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
         order = np.argsort(ids_np)
         txt_arr = pa.array(tdf["text"].to_numpy()[order], pa.string())
         gram_p, starts_p, doc_n_p = G.pack_doc_grams(txt_arr, n)
-        pack_ref = ray.put((ids_np[order], gram_p, starts_p, doc_n_p))
+        # templated corpora have tiny GLOBAL vocabularies (the df aggregate
+        # already computed it): verify via |vocab|-bit bitsets + popcount —
+        # ~100× less memory traffic than gathering per-pair gram lists
+        words = (len(vocab_u64) + 63) // 64
+        if len(ids_np) * words * 8 <= _BITSET_BYTES_LIMIT:
+            bits = G.build_bitsets(gram_p, starts_p, doc_n_p, vocab_u64)
+            pack_ref = ray.put(("bits", ids_np[order], bits, doc_n_p))
+        else:
+            pack_ref = ray.put(
+                ("csr", ids_np[order], gram_p, starts_p, doc_n_p))
 
         def verify_batch(t: pa.Table) -> pa.Table:
             key = pack_ref.hex()
@@ -1343,14 +1354,20 @@ def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
                 pack = ray.get(pack_ref)
                 _LUT_CACHE.clear()
                 _LUT_CACHE[key] = pack
-            ids_s, gram_c, starts_c, dn_c = pack
             a_ids = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
             b_ids = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            a_idx = np.searchsorted(ids_s, a_ids)
-            b_idx = np.searchsorted(ids_s, b_ids)
-            inter, uni = G.intersect_packed(
-                gram_c, starts_c, dn_c, a_idx, b_idx, n
-            )
+            if pack[0] == "bits":
+                _, ids_s, bits_c, dn_c = pack
+                a_idx = np.searchsorted(ids_s, a_ids)
+                b_idx = np.searchsorted(ids_s, b_ids)
+                inter, uni = G.intersect_bitsets(bits_c, dn_c, a_idx, b_idx)
+            else:
+                _, ids_s, gram_c, starts_c, dn_c = pack
+                a_idx = np.searchsorted(ids_s, a_ids)
+                b_idx = np.searchsorted(ids_s, b_ids)
+                inter, uni = G.intersect_packed(
+                    gram_c, starts_c, dn_c, a_idx, b_idx, n
+                )
             keep = inter * den >= num * uni
             return pa.table(
                 {"a": pa.array(a_ids), "b": pa.array(b_ids),
@@ -1358,7 +1375,7 @@ def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
             ).filter(pa.array(keep))
 
         out = pairs.map_batches(verify_batch, batch_format="pyarrow",
-                                batch_size=65536).to_pandas()
+                                batch_size=16384).to_pandas()
     else:
         joined = pairs.join(
             texts, join_type="inner", num_partitions=16,
