@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "word_count",
     "frame_sample",
+    "stratified_sample",
+    "token_shards",
+    "term_doc_freq",
+    "kmeans_clusters",
 ]
 
 

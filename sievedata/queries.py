@@ -3565,6 +3565,256 @@ FROM orders
 """
 
 
+def _token_counts(txt: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Per-row count of non-empty whitespace tokens (0 for null text) —
+    vectorized: split → flatten with parent indices → bincount."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    split = pc.split_pattern(txt, " ")
+    parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(split)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return np.bincount(parents[nonempty], minlength=len(txt)).astype(np.int64)
+
+
+def q_stratified_sample(sf_dir: str, k: int = 10):
+    """Deterministic stratified sampling: every k-th document per ``lang``
+    stratum in doc_id order (training-data subsampling with per-stratum
+    quotas).
+
+    Scale shape: a per-stratum GLOBAL rank without ever materializing a
+    stratum in one task — (1) one aggregate pass for the doc_id range,
+    (2) (lang, doc_id-range-bin) counts → driver exclusive prefix-sum over
+    ≤ strata × 256 small integers, (3) per-(lang, bin) local sort + offset
+    → rank % k filter.  Equal doc_ids can't straddle bins (ids unique), so
+    ranks are exact; both data passes stream."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    stats = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    lo = int(stats["min(doc_id)"])
+    hi = int(stats["max(doc_id)"])
+    n_bins = 256
+    width = max((hi - lo + 1 + n_bins - 1) // n_bins, 1)
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = np.clip((v - lo) // width, 0, n_bins - 1).astype(np.int64)
+        return t.append_column("bin", pa.array(b))
+
+    counts = (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .count()
+        .to_pandas()
+        .sort_values(["lang", "bin"])
+    )
+    offsets = {}
+    for lang, g in counts.groupby("lang", sort=False):
+        cum = np.concatenate([[0], np.cumsum(g["count()"].to_numpy())[:-1]])
+        for b, o in zip(g["bin"], cum):
+            offsets[(lang, int(b))] = int(o)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        base = offsets[(df["lang"].iloc[0], int(df["bin"].iloc[0]))]
+        rn = base + np.arange(len(df))
+        keep = (rn % k) == 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "lang": df["lang"].to_numpy()[keep],
+        })
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE (rn - 1) % 10 = 0
+"""
+
+
+def q_token_shards(sf_dir: str, budget: int = 10_000):
+    """Token-budget corpus sharding (sequence-packing precursor): walk the
+    corpus in doc_id order and assign each document to the shard whose
+    token budget its EXCLUSIVE prefix-sum falls in — how a training
+    pipeline splits a corpus into ~budget-token output files.
+
+    Scale shape: a global ordered prefix-sum, distributed exactly like
+    q_global_rank — doc_id-range bins, per-bin token sums, driver prefix
+    over ≤256 ints, per-bin local cumsum + offset.  No sort, no
+    whole-corpus materialization; token counting is Arrow-vectorized."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    stats = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    lo = int(stats["min(doc_id)"])
+    hi = int(stats["max(doc_id)"])
+    n_bins = 256
+    width = max((hi - lo + 1 + n_bins - 1) // n_bins, 1)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = np.clip((ids - lo) // width, 0, n_bins - 1).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pa.array(_token_counts(t["text"])),
+            "bin": pa.array(b),
+        })
+
+    rows = ds.map_batches(tok_rows, batch_format="pyarrow")
+    bin_sums = (
+        rows.groupby("bin").aggregate(Sum("tokens", alias_name="t"))
+        .to_pandas().sort_values("bin")
+    )
+    cum = np.concatenate([[0], np.cumsum(bin_sums["t"].to_numpy())[:-1]])
+    offsets = {int(b): int(o) for b, o in zip(bin_sums["bin"], cum)}
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        tok = df["tokens"].to_numpy()
+        excl = offsets[int(df["bin"].iloc[0])] + np.cumsum(tok) - tok
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "tokens": tok,
+            "shard": (excl // budget).astype(np.int64),
+        })
+
+    return rows.groupby("bin").map_groups(finalize, batch_format="pandas")
+
+
+SQL_TOKEN_SHARDS = """
+SELECT doc_id, tokens,
+       CAST(COALESCE(sum(tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 10000 AS BIGINT) AS shard
+FROM (
+  SELECT doc_id,
+         CAST(COALESCE(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')), 0) AS BIGINT) AS tokens
+  FROM documents)
+"""
+
+
+def q_term_doc_freq(sf_dir: str, k: int = 100):
+    """Vocabulary statistics: per-term document frequency (distinct docs
+    containing the term) + total term frequency, top-k by df — the idf
+    table every TF-IDF / quality-filter pipeline derives first.
+
+    Scale shape: documents are one row each, so per-block (doc, term)
+    DISTINCT pairs are exact without any shuffle — dictionary-encode the
+    token stream, np.unique over (row << 32 | code) — and each block emits
+    vocab-sized (term, df, tf) partials; one narrow groupby sums them."""
+    from ray.data.aggregate import Sum
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        split = pc.split_pattern(txt, " ")
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = enc.dictionary
+        tf = np.bincount(codes, minlength=len(terms))
+        pair = np.unique((parents.astype(np.int64) << np.int64(32)) | codes)
+        df_ = np.bincount(pair & np.int64(0xFFFFFFFF), minlength=len(terms))
+        return pa.table({
+            "term": terms,
+            "df": pa.array(df_.astype(np.int64)),
+            "tf": pa.array(tf.astype(np.int64)),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["text"])
+        .map_batches(block_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_TERM_DOC_FREQ = """
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 100
+"""
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = 8, sample_cap: int = 20_000):
+    """K-means document clustering over the embedding column: fit k
+    centroids on a bounded sample (driver-side Lloyd, deterministic seed —
+    functions/ann.py::kmeans_fit, the IVF coarse quantizer), then assign
+    the full corpus in a streaming map_batches pass and report per-cluster
+    sizes + exact integer centroid-similarity sums.  The sample is capped,
+    the assignment broadcast the k×dim centroid matrix once via ray.put —
+    at 100 TB only the sample and the k-row result ever leave the workers.
+    No SQL oracle (iterative algorithm); gated by determinism + coverage
+    tests."""
+    from ray.data.aggregate import Count, Sum
+
+    from sievedata.functions.ann import kmeans_fit, make_ivf_assign_fn
+
+    import ray
+
+    sample = (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .limit(sample_cap)
+        .to_pandas()
+    )
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in sample["embedding"]])
+    cent_ref = ray.put(kmeans_fit(mat, k))
+
+    def to_stats(t: pa.Table) -> pa.Table:
+        # cluster col appended by the assign fn; similarity to own centroid
+        # summed as integer 1e-6 units (order-insensitive exact reduce)
+        return pa.table({
+            "cluster": t["cluster"],
+            "sim_micro": pa.array(
+                np.round(
+                    t["sim"].to_numpy(zero_copy_only=False) * 1e6
+                ).astype(np.int64)),
+        })
+
+    assign = make_ivf_assign_fn(cent_ref)
+
+    def assign_with_sim(t: pa.Table) -> pa.Table:
+        out = assign(t)
+        emb = np.asarray([np.asarray(v, dtype=np.float64)
+                          for v in t.column("embedding").to_pylist()])
+        emb = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        cent = ray.get(cent_ref)
+        cl = out["cluster"].to_numpy(zero_copy_only=False)
+        sim = np.einsum("ij,ij->i", emb, cent[cl])
+        return out.append_column("sim", pa.array(sim))
+
+    return (
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(assign_with_sim, batch_format="pyarrow")
+        .map_batches(to_stats, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n"), Sum("sim_micro", alias_name="sim_micro"))
+        .sort("cluster")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3624,6 +3874,9 @@ _ORACLE = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "except_users": SQL_EXCEPT_USERS,
     "dense_rank": SQL_DENSE_RANK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "token_shards": SQL_TOKEN_SHARDS,
+    "term_doc_freq": SQL_TERM_DOC_FREQ,
 }
 
 _QUERIES = {
@@ -3683,7 +3936,11 @@ _QUERIES = {
     "shipping_priority": q_shipping_priority,
     "except_users": q_except_users,
     "dense_rank": q_dense_rank,
+    "stratified_sample": q_stratified_sample,
+    "token_shards": q_token_shards,
+    "term_doc_freq": q_term_doc_freq,
     # rows-only (no SQL equivalent)
+    "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,
