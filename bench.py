@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "word_count",
     "frame_sample",
+    "media_audio",
     "stratified_sample",
     "token_shards",
     "term_doc_freq",

@@ -2,11 +2,17 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample are actor-pool map_batches stages.
-The actual codec libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode step is STUBBED: ``decode_media`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (sha256-based
-feature vector) exercises the real Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — end to end.
+
+Decode support is tiered:
+- **REAL decode** for uncompressed formats parseable with numpy alone
+  (functions/codecs.py): 24-bit BMP images and PCM-16 WAV audio —
+  ``decode_media`` sniffs the payload magic and returns real features;
+  ``MediaResizer`` really decodes → nearest-neighbor resizes → re-encodes
+  BMP payloads.
+- **STUB** for compressed formats (JPEG/PNG/MP4 need PIL/ffmpeg, which are
+  NOT in this container): raises NotImplementedError unless ``fake=True``,
+  in which case a deterministic sha256-based fake exercises the real
+  Ray-side plumbing — schema, batch sizing, actor signature, output layout.
 """
 from __future__ import annotations
 
@@ -14,6 +20,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from sievedata.functions import codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -28,17 +36,22 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Decode one media payload to a feature array.
+    """Decode one media payload to a 16-dim feature array.
 
-    Real decoding requires codec libraries that are not installed here —
-    STUB: raises NotImplementedError unless ``fake`` is set, in which case a
-    deterministic sha256-derived 16-dim feature vector is returned (stable
-    across runs, so downstream plumbing is testable).
+    BMP and WAV payloads (sniffed by magic bytes) decode for REAL via the
+    pure-numpy codecs; other formats need PIL/ffmpeg (not installed) and
+    raise NotImplementedError unless ``fake`` is set, in which case a
+    deterministic sha256-derived vector is returned (stable across runs, so
+    downstream plumbing is testable for any payload shape).
     """
+    if codecs.is_bmp(payload):
+        return codecs.image_features(codecs.bmp_decode(payload))
+    if codecs.is_wav(payload):
+        return codecs.audio_features(*codecs.wav_decode(payload))
     if not fake:
         raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not available in this environment; "
-            "run with fake=True for deterministic plumbing tests"
+            "compressed-media codecs (PIL/ffmpeg) are not available in this "
+            "environment; supply BMP/WAV payloads or run with fake=True"
         )
     digest = hashlib.sha256(payload + kind.encode()).digest()
     return np.frombuffer(digest[:16], dtype=np.uint8).astype(np.float32) / 255.0
@@ -47,20 +60,16 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
 class MediaResizer:
     """Actor-pool stage: decode → resize → re-encode media payloads.
 
-    The codec halves are STUBBED like ``decode_media`` (no PIL/ffmpeg in
-    this container): with ``fake=True`` the output payload is a
+    BMP payloads resize for REAL (pure-numpy decode → nearest-neighbor
+    gather → re-encode).  Compressed formats are stubbed like
+    ``decode_media``: with ``fake=True`` a non-BMP payload becomes a
     deterministic sha256-stream "thumbnail" of ``thumb_bytes`` bytes, so
-    the real plumbing — binary in/out schema, per-actor setup, small
-    batches for wide rows — is exercised end to end and downstream stages
-    see a correctly-shaped re-encoded column.
+    the plumbing — binary in/out schema, per-actor setup, small batches
+    for wide rows — is exercised end to end for any input.
     """
 
     def __init__(self, width: int = 64, height: int = 64, fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "media codecs (PIL/ffmpeg) are not available in this "
-                "environment; construct with fake=True for plumbing tests"
-            )
+        self.fake = fake
         self.width = width
         self.height = height
         # fake thumbnail size: enough bytes to be a realistic payload column
@@ -74,6 +83,17 @@ class MediaResizer:
             seed = hashlib.sha256(seed).digest()
         return bytes(out[: self.thumb_bytes])
 
+    def _resize_one(self, payload: bytes) -> bytes:
+        if codecs.is_bmp(payload):
+            img = codecs.bmp_decode(payload)
+            return codecs.bmp_encode(
+                codecs.bmp_resize_nearest(img, self.width, self.height))
+        if not self.fake:
+            raise NotImplementedError(
+                "compressed-media codecs are not available; supply BMP "
+                "payloads or construct with fake=True")
+        return self._fake_resize(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         return pa.table(
@@ -81,12 +101,39 @@ class MediaResizer:
                 "media_id": batch.column("media_id"),
                 "kind": batch.column("kind"),
                 "payload": pa.array(
-                    [self._fake_resize(p or b"") for p in payloads], pa.binary()
+                    [self._resize_one(p or b"") for p in payloads], pa.binary()
                 ),
                 "width": pa.array([self.width] * len(payloads), pa.int32()),
                 "height": pa.array([self.height] * len(payloads), pa.int32()),
             }
         )
+
+
+def synth_bmp(seed: int, width: int = 24, height: int = 16) -> bytes:
+    """Deterministic real BMP payload (seeded gradient + noise image) —
+    the fixture side of the real-decode path; no codec libs needed."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    x = np.linspace(0, 255, width, dtype=np.float32)
+    y = np.linspace(0, 255, height, dtype=np.float32)[:, None]
+    img = np.stack(
+        [np.broadcast_to(x, (height, width)),
+         np.broadcast_to(y, (height, width)),
+         rng.integers(0, 256, (height, width)).astype(np.float32)],
+        axis=2,
+    ).astype(np.uint8)
+    return codecs.bmp_encode(img)
+
+
+def synth_wav(seed: int, n_samples: int = 1600, rate: int = 16_000) -> bytes:
+    """Deterministic real WAV payload (seeded two-tone + noise, PCM16)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    t = np.arange(n_samples) / rate
+    f1, f2 = 100 + seed % 900, 1000 + (seed // 7) % 3000
+    sig = (0.5 * np.sin(2 * np.pi * f1 * t)
+           + 0.3 * np.sin(2 * np.pi * f2 * t)
+           + 0.05 * rng.standard_normal(n_samples))
+    samples = np.clip(sig * 20000, -32768, 32767).astype(np.int16)
+    return codecs.wav_encode(samples, rate)
 
 
 class FrameSampler:

@@ -1637,46 +1637,81 @@ ORDER BY a, b
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: text payloads as opaque binary → actor-pool
-    fake-decode feature extraction (functions/media.py; real codecs stubbed)."""
-    from sievedata.functions.media import MediaFeatureExtractor
+    """Multimodal image pipeline with REAL decode: deterministic BMP
+    payloads (seeded per doc) → actor-pool decode → 16-dim image features
+    (dims, channel stats, luminance histogram).  The BMP codec is
+    pure-numpy (functions/codecs.py); compressed formats stay stubbed."""
+    from sievedata.functions.media import MediaFeatureExtractor, synth_bmp
 
     def to_media(t: pa.Table) -> pa.Table:
-        text = t["text"].combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
                 "kind": pa.array(["image"] * t.num_rows, pa.string()),
-                "payload": pc.cast(text, pa.binary()),
+                "payload": pa.array([synth_bmp(int(d)) for d in ids],
+                                    pa.binary()),
             }
         )
 
     return (
-        _rp(sf_dir, "documents", ["doc_id", "text"])
+        _rp(sf_dir, "documents", ["doc_id"])
         .map_batches(to_media, batch_format="pyarrow")
         .map_batches(
             MediaFeatureExtractor,
             batch_format="pyarrow",
             batch_size=256,  # small batches: media payloads are wide rows
             concurrency=(1, 4),
-            fn_constructor_kwargs={"fake": True},
+            fn_constructor_kwargs={"fake": False},
+        )
+    )
+
+
+def q_media_audio(sf_dir: str):
+    """Multimodal audio pipeline with REAL decode: deterministic PCM-16
+    WAV payloads (seeded two-tone per doc) → actor-pool decode → 16-dim
+    audio features (duration, rms, zero-crossings, rFFT band energies)."""
+    from sievedata.functions.media import MediaFeatureExtractor, synth_wav
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
+                "kind": pa.array(["audio"] * t.num_rows, pa.string()),
+                "payload": pa.array([synth_wav(int(d)) for d in ids],
+                                    pa.binary()),
+            }
+        )
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            MediaFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"fake": False},
         )
     )
 
 
 def q_media_resize(sf_dir: str):
-    """Multimodal resize plumbing: binary payloads → actor-pool resize →
-    re-encoded binary thumbnails + dims (codec stubbed; schema, actor setup
-    and small-batch sizing are the real Ray plumbing under test).  Returns
-    id, kind, dims and thumbnail size — not the raw bytes — so the driver's
-    rows check stays cheap."""
-    from sievedata.functions.media import MediaResizer
+    """Multimodal resize with REAL codec work: deterministic BMP payloads
+    → actor-pool decode → nearest-neighbor resize → BMP re-encode
+    (pure-numpy, functions/codecs.py).  Returns id, kind, dims and
+    thumbnail size — not the raw bytes — so the driver's rows check stays
+    cheap."""
+    from sievedata.functions.media import MediaResizer, synth_bmp
 
     def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
             "kind": pa.array(["image"] * t.num_rows, pa.string()),
-            "payload": pc.cast(t["text"].combine_chunks(), pa.binary()),
+            "payload": pa.array([synth_bmp(int(d)) for d in ids],
+                                pa.binary()),
         })
 
     def summarize(t: pa.Table) -> pa.Table:
@@ -1689,14 +1724,14 @@ def q_media_resize(sf_dir: str):
         })
 
     return (
-        _rp(sf_dir, "documents", ["doc_id", "text"])
+        _rp(sf_dir, "documents", ["doc_id"])
         .map_batches(to_media, batch_format="pyarrow")
         .map_batches(
             MediaResizer,
             batch_format="pyarrow",
             batch_size=256,  # small batches: media payloads are wide rows
             concurrency=(1, 4),
-            fn_constructor_kwargs={"width": 64, "height": 64, "fake": True},
+            fn_constructor_kwargs={"width": 64, "height": 64, "fake": False},
         )
         .map_batches(summarize, batch_format="pyarrow")
     )
@@ -3947,6 +3982,7 @@ _QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "media_features": q_media_features,
+    "media_audio": q_media_audio,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "validate_flagship": q_validate_flagship,

@@ -7,7 +7,8 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 ROWS_ONLY = ["lang_id", "fingerprint", "simhash", "minhash_near_dups",
-             "simhash_near_dups", "media_features", "media_resize",
+             "simhash_near_dups", "media_features", "media_audio",
+             "media_resize",
              "frame_sample", "ann_ivf_topk", "kmeans_clusters"]
 
 
