@@ -29,6 +29,22 @@ def _rp(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _join_parts(*datasets, target_bytes: int = 128 << 20,
+                lo: int = 8, hi: int = 200) -> int:
+    """Size-adaptive hash-join partition count: ~one partition per
+    ``target_bytes`` of the larger input (parquet-metadata estimate — no
+    execution), clamped to [lo, hi].  Each partition spins an aggregator
+    actor, so small inputs shouldn't pay 16 actor start-ups (~1 s/ join on
+    this box) and 100-TB inputs shouldn't squeeze through 16 partitions."""
+    size = 0
+    for ds in datasets:
+        try:
+            size = max(size, ds.size_bytes() or 0)
+        except Exception:
+            pass
+    return int(np.clip((size + target_bytes - 1) // target_bytes, lo, hi))
+
+
 # per-worker cache for broadcast lookup dicts (keyed by ObjectRef hex so a
 # new broadcast invalidates the old entry; avoids re-deserializing the dict
 # for every batch a warm worker processes)
@@ -234,7 +250,7 @@ def q_join_native(sf_dir: str):
     li = _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     part = _rp(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = li.join(
-        part, join_type="inner", num_partitions=16,
+        part, join_type="inner", num_partitions=_join_parts(li, part),
         on=("l_partkey",), right_on=("p_partkey",),
     )
     out = (
@@ -530,7 +546,8 @@ def q_price_outliers(sf_dir: str):
                    Sum("sx2", alias_name="sx2"))
         .map_batches(finish_stats, batch_format="pyarrow")
     )
-    joined = li.join(stats, join_type="inner", num_partitions=16, on=("l_partkey",))
+    joined = li.join(stats, join_type="inner",
+                     num_partitions=_join_parts(li), on=("l_partkey",))
 
     def flag(t: pa.Table) -> pa.Table:
         x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -3021,13 +3038,13 @@ def q_left_join_counts(sf_dir: str):
     complement of the inner `join_native`)."""
     from ray.data.aggregate import Count
 
-    counts = (
-        _rp(sf_dir, "orders", ["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-    )
-    joined = _rp(sf_dir, "customer", ["c_custkey"]).join(
-        counts, join_type="left_outer", num_partitions=16,
+    orders_base = _rp(sf_dir, "orders", ["o_custkey"])
+    cust_base = _rp(sf_dir, "customer", ["c_custkey"])
+    counts = orders_base.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"))
+    joined = cust_base.join(
+        counts, join_type="left_outer",
+        num_partitions=_join_parts(orders_base, cust_base),
         on=("c_custkey",), right_on=("o_custkey",),
     )
 
@@ -3179,20 +3196,23 @@ def q_full_outer_join(sf_dir: str):
     matched, left-only and right-only rows, all COALESCE-filled)."""
     from ray.data.aggregate import Count
 
+    orders_base = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    events_base = _rp(sf_dir, "events", ["user_id", "event_type"])
     left = (
-        _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        orders_base
         .filter(expr="o_orderpriority == '1-URGENT'")
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_urgent"))
     )
     right = (
-        _rp(sf_dir, "events", ["user_id", "event_type"])
+        events_base
         .filter(expr="event_type == 'purchase'")
         .groupby("user_id")
         .aggregate(Count(alias_name="n_purchases"))
     )
     joined = left.join(
-        right, join_type="full_outer", num_partitions=16,
+        right, join_type="full_outer",
+        num_partitions=_join_parts(orders_base, events_base),
         on=("o_custkey",), right_on=("user_id",),
     )
 
@@ -3437,8 +3457,11 @@ def q_shipping_priority(sf_dir: str, cutoff: str = "1998-06-01", k: int = 10):
             "revenue_cents": pa.array(ext * (100 - pct)),
         })
 
+    li_base = _rp(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    n_parts = _join_parts(li_base)
     revenue = (
-        _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        li_base
         .map_batches(li_project, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
@@ -3478,12 +3501,12 @@ def q_shipping_priority(sf_dir: str, cutoff: str = "1998-06-01", k: int = 10):
         orders_f = orders.map_batches(probe, batch_format="pyarrow")
     else:
         orders_f = orders.join(
-            cust, join_type="inner", num_partitions=16,
+            cust, join_type="inner", num_partitions=n_parts,
             on=("o_custkey",), right_on=("c_custkey",),
         ).materialize()
 
     joined = revenue.join(
-        orders_f, join_type="inner", num_partitions=16,
+        orders_f, join_type="inner", num_partitions=n_parts,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
