@@ -3873,6 +3873,86 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8, sample_cap: int = 20_000):
     )
 
 
+def q_union_ids(sf_dir: str):
+    """Distributed UNION (distinct) across two DIFFERENT tables: event
+    user ids ∪ order customer keys — ``Dataset.union`` concatenates the
+    streams without a barrier, then one groupby dedups.  The third set-op
+    sibling (INTERSECT/EXCEPT above run single-scan over one table; UNION
+    across tables genuinely needs the concat + distinct shuffle)."""
+
+    def ev_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"id": pc.unique(t["user_id"].combine_chunks())})
+
+    def od_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"id": pc.unique(t["o_custkey"].combine_chunks())})
+
+    ev = _rp(sf_dir, "events", ["user_id"]).map_batches(
+        ev_ids, batch_format="pyarrow")
+    od = _rp(sf_dir, "orders", ["o_custkey"]).map_batches(
+        od_ids, batch_format="pyarrow")
+    return ev.union(od).groupby("id").count().select_columns(["id"])
+
+
+SQL_UNION_IDS = """
+SELECT user_id AS id FROM events
+UNION
+SELECT o_custkey AS id FROM orders
+"""
+
+
+def q_approx_quantiles(sf_dir: str, width: float = 1000.0):
+    """Approximate quantiles from a MERGEABLE fixed-width histogram sketch
+    — the streaming/scale path beside the exact sorted-offset quantiles
+    (supplier_quantiles).  Per-block integer bin counts merge exactly
+    (order-insensitive), the sketch is O(value-range/width) regardless of
+    row count, and the estimate (lower edge of the first bin whose
+    cumulative count reaches ⌈p·n/100⌉) is deterministic with error ≤
+    one bin width.  Bin ids use the same bit-exact double floor-divide as
+    the PSI/KS drift bins, so the SQL oracle reproduces the estimator
+    EXACTLY — an approximate sketch with an exact correctness gate."""
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / width).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(uniq), "c": pa.array(cnt)})
+
+    from ray.data.aggregate import Sum
+
+    bins = (
+        _rp(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(bin_counts, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()          # sketch-sized: O(range/width) rows
+        .sort_values("bin")
+    )
+    cum = np.cumsum(bins["c"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_a = [], []
+    for p in (25, 50, 75, 95):
+        need = np.ceil(p * n / 100.0)
+        idx = int(np.searchsorted(cum, need))
+        out_p.append(p)
+        out_a.append(float(bins["bin"].iloc[idx]) * width)
+    return pd.DataFrame({"p": pd.array(out_p, dtype="int64"),
+                         "approx": pd.array(out_a, dtype="float64")})
+
+
+SQL_APPROX_QUANTILES = """
+WITH bins AS (
+  SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b, count(*) AS c
+  FROM orders GROUP BY b),
+tot AS (SELECT sum(c) AS n FROM bins),
+cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM bins),
+ps AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (25), (50), (75), (95)) AS t(p))
+SELECT p, min(b) * 1000.0 AS approx
+FROM ps, cum, tot
+WHERE cc >= ceil(p * n / 100.0)
+GROUP BY p
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3935,6 +4015,8 @@ _ORACLE = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "token_shards": SQL_TOKEN_SHARDS,
     "term_doc_freq": SQL_TERM_DOC_FREQ,
+    "union_ids": SQL_UNION_IDS,
+    "approx_quantiles": SQL_APPROX_QUANTILES,
 }
 
 _QUERIES = {
@@ -3997,6 +4079,8 @@ _QUERIES = {
     "stratified_sample": q_stratified_sample,
     "token_shards": q_token_shards,
     "term_doc_freq": q_term_doc_freq,
+    "union_ids": q_union_ids,
+    "approx_quantiles": q_approx_quantiles,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
