@@ -224,6 +224,25 @@ def dice_3gram(a_text: str, b_text: str) -> float:
     return float(min(1.0, 2.0 * overlap / denom))
 
 
+def dice_3gram_batch(texts_a: list[str], texts_b: list[str]) -> "np.ndarray":
+    """Vectorized :func:`dice_3gram` over row-aligned text pairs — packed
+    uint64 3-gram sets + one np.unique (kernels/grams.py) instead of one
+    Python setcomp per text.  Both texts of a pair must have len ≥ 3
+    (below that ``ngram_set`` is EMPTY while the packed kernel yields the
+    whole-text gram; callers route short pairs through the scalar).  The
+    final expression is the identical float op as the scalar
+    (2.0·overlap/denom on exact integers)."""
+    import pyarrow as pa
+
+    from sievedata.kernels import grams as G
+
+    inter, uni = G.pair_jaccard_counts(
+        pa.array(texts_a, pa.string()), pa.array(texts_b, pa.string()), 3
+    )
+    denom = np.maximum(inter + uni, 1)
+    return np.minimum(1.0, 2.0 * inter / denom)
+
+
 def jaccard(a: Iterable, b: Iterable) -> float:
     """Plain Jaccard similarity over two iterables of hashables."""
     sa, sb = set(a), set(b)

@@ -179,6 +179,11 @@ class PairScorer:
         self._dice_cache: dict[tuple[str, str], float] = {}
         self._inv_cache: dict[tuple[str, str], float] = {}
         self._desc_cache: dict[tuple[str, str], float] = {}
+        # per-group desc-distance matrices keyed by the ordered vocab tuple:
+        # the same doc set re-groups under several block families (invnum /
+        # vendor / po / amount / LSH), so identical vocabularies recur and
+        # the O(v²) dict-lookup build repeats — cache the built matrix
+        self._dmat_cache: dict[tuple[str, ...], np.ndarray] = {}
 
     def _desc_dist(self, a: str, b: str) -> float:
         from sievedata.kernels.similarity import jaro_winkler
@@ -255,6 +260,31 @@ class PairScorer:
             for k in inv_todo:
                 self._inv_cache[k] = jaro_winkler(k[0], k[1])
 
+    def _prefetch_text_cosines(self, groups, prepped) -> None:
+        """Batch-precompute the dice_3gram text cosines the pair loop will
+        look up (packed-gram kernel — one np.unique instead of a Python
+        setcomp per text).  Pairs with a short side (len < 3, where the
+        scalar's ngram_set is empty) stay on the scalar path."""
+        from sievedata.kernels.similarity import dice_3gram_batch
+
+        if len(self._dice_cache) > 150_000:
+            self._dice_cache.clear()
+        todo: set[tuple[str, str]] = set()
+        for _prio, ids in groups:
+            texts = sorted({prepped[d]["line_text"] for d in ids})
+            for xi, ta in enumerate(texts):
+                if len(ta) < 3:
+                    continue
+                for tb in texts[xi + 1:]:
+                    if len(tb) >= 3 and (ta, tb) not in self._dice_cache:
+                        todo.add((ta, tb))
+        if len(todo) < 64:
+            return  # scalar path amortizes better than the batch setup
+        pairs = list(todo)
+        vals = dice_3gram_batch([p[0] for p in pairs], [p[1] for p in pairs])
+        for k, v in zip(pairs, vals):
+            self._dice_cache[k] = float(v)
+
     def _text_cosine(self, a_text: str, b_text: str) -> float:
         key = (a_text, b_text) if a_text <= b_text else (b_text, a_text)
         tc = self._dice_cache.get(key)
@@ -314,6 +344,7 @@ class PairScorer:
         if not groups:
             return _EMPTY_PAIRS
         self._prefetch_distances(groups, prepped)
+        self._prefetch_text_cosines(groups, prepped)
         alpha, beta, gamma = 0.7, 0.2, 0.1
         for prio, ids in groups:
             docs = [prepped[d] for d in ids]
@@ -324,12 +355,19 @@ class PairScorer:
             for d in docs:
                 for l in d["lines"]:
                     vocab.setdefault(l["desc_norm"], len(vocab))
-            D = np.zeros((len(vocab), len(vocab)))
-            for dx, x in vocab.items():
-                row = D[x]
-                for dy, y in vocab.items():
-                    if dx != dy:
-                        row[y] = self._desc_dist(dx, dy)
+            vkey = tuple(vocab)
+            D = self._dmat_cache.get(vkey)
+            if D is None:
+                D = np.zeros((len(vocab), len(vocab)))
+                items = list(vocab.items())
+                for xi, (dx, x) in enumerate(items):
+                    row = D[x]
+                    for dy, y in items[xi + 1:]:
+                        d = self._desc_dist(dx, dy)  # symmetric; diag is 0
+                        row[y] = d
+                        D[y, x] = d
+                if len(self._dmat_cache) < 8192:
+                    self._dmat_cache[vkey] = D
             idxs = [
                 np.array(
                     [vocab[l["desc_norm"]] for l in d["lines"]], dtype=np.int64

@@ -174,3 +174,42 @@ def test_dice_3gram():
     assert dice_3gram("abcdef", "abcdef") == 1.0
     assert dice_3gram("ab", "ab") == 0.0  # below shingle size
     assert 0.0 < dice_3gram("paper a4 500", "paper a4 200") < 1.0
+
+
+def test_hungarian_list_path_identical():
+    """The small-matrix Python-list path must be BIT-identical to the numpy
+    path — same assignments (incl. tie choices) on random and tie-heavy
+    matrices."""
+    from sievedata.kernels import assignment as A
+
+    rng = np.random.default_rng(123)
+    cases = []
+    for n, m in [(2, 2), (2, 5), (5, 2), (3, 3), (7, 4), (6, 9), (8, 8)]:
+        cases.append(rng.random((n, m)))
+        # tie-heavy: values drawn from a tiny grid so equal costs abound
+        cases.append(rng.integers(0, 3, (n, m)).astype(float) / 2.0)
+    cases.append(np.zeros((4, 6)))  # all-ties
+    for cost in cases:
+        r_list, c_list = A.linear_sum_assignment(cost)
+        old = A._LIST_PATH_MAX
+        A._LIST_PATH_MAX = 0
+        try:
+            r_np, c_np = A.linear_sum_assignment(cost)
+        finally:
+            A._LIST_PATH_MAX = old
+        np.testing.assert_array_equal(r_list, r_np)
+        np.testing.assert_array_equal(c_list, c_np)
+
+
+def test_dice_3gram_batch_matches_scalar():
+    from sievedata.kernels.similarity import dice_3gram, dice_3gram_batch
+
+    rng = np.random.default_rng(5)
+    texts = ["invoice paper a4 ream", "invoice paper a5 ream", "toner xl",
+             "abc", "abcd", "office chair mesh black", "häßlich ünïcode",
+             "invoice paper a4 ream"]
+    pairs = [(texts[int(i)], texts[int(j)])
+             for i, j in rng.integers(0, len(texts), (40, 2))]
+    got = dice_3gram_batch([a for a, _ in pairs], [b for _, b in pairs])
+    for k, (a, b) in enumerate(pairs):
+        assert got[k] == dice_3gram(a, b), (a, b)
