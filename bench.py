@@ -100,6 +100,14 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
+    # spin up the Ray worker pool before the first timed pipeline (the
+    # first execution of a session otherwise pays ~2-4 s of process
+    # start-up that has nothing to do with the pipeline being measured)
+    import ray.data as _rd
+
+    _rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+
     t0 = time.perf_counter()
     prof = build_profiles(
         fix["baseline"], fix["media_catalog"], os.path.join(cache, f"profiles_{NUM_CPUS}")
