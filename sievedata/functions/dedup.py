@@ -42,21 +42,47 @@ def minhash_signature_batch(
     shingle list, then per-permutation segment minima via
     ``np.minimum.reduceat`` — no per-document hashing overhead.
     """
-    n_docs = len(texts)
+    from sievedata.kernels import grams as G
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        arr = texts
+        if arr.null_count:
+            import pyarrow.compute as pc
+            arr = pc.fill_null(arr, "")  # None → "" like the scalar path
+    else:
+        arr = pa.array([t if t is not None else "" for t in texts],
+                       pa.string())
+    n_docs = len(arr)
     out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    all_shingles: list[str] = []
-    offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    for row, t in enumerate(texts):
-        t = t or ""
-        if len(t) < n:
-            sh = [t]
-        else:
-            sh = list({t[i : i + n] for i in range(len(t) - n + 1)})
-        all_shingles.extend(sh)
-        offsets[row + 1] = offsets[row] + len(sh)
-    if not all_shingles:
+    if n_docs == 0:
         return out
-    h1, h2 = hash64_pair(all_shingles, seed=seed)
+    if n <= 7 and G.is_ascii(arr):
+        # vectorized distinct-shingle extraction (packed uint64 windows →
+        # one np.unique → decode); the DECODED STRINGS hash through the
+        # same hash64, so signatures are bit-identical to the scalar path
+        # (short texts yield the whole text — same special case)
+        _, gram, doc_n = G.distinct_grams_packed(arr, n)
+        shingles = G.packed_to_strings(gram, n)
+        offsets = np.concatenate(([0], np.cumsum(doc_n))).astype(np.int64)
+        if len(shingles) == 0:
+            return out
+        h1, h2 = hash64_pair(shingles, seed=seed)
+    else:
+        all_shingles: list[str] = []
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        for row, t in enumerate(arr.to_pylist()):
+            t = t or ""
+            if len(t) < n:
+                sh = [t]
+            else:
+                sh = list({t[i : i + n] for i in range(len(t) - n + 1)})
+            all_shingles.extend(sh)
+            offsets[row + 1] = offsets[row] + len(sh)
+        if not all_shingles:
+            return out
+        h1, h2 = hash64_pair(all_shingles, seed=seed)
     starts = offsets[:-1]
     nonempty = np.diff(offsets) > 0
     with np.errstate(over="ignore"):

@@ -133,3 +133,39 @@ def test_psi_and_ks():
     assert d_digest == pytest.approx(d_shift, abs=0.05)
 
     assert psi(np.array([0.5, 0.5]), np.array([0.5, 0.5])) == pytest.approx(0.0)
+
+
+def test_minhash_vectorized_path_identical():
+    """The packed-gram shingle fast path must produce BIT-identical
+    signatures to the Python-set scalar path (same shingle strings →
+    same hash64 → same minima)."""
+    import numpy as np
+
+    from sievedata.functions.dedup import minhash_signature_batch
+    from sievedata.sketches.hashing import hash64_pair
+
+    texts = ["the quick brown fox jumps", "the quick brown fax jumps",
+             "ab", "", None, "aaaaaaa", "invoice 12345 total 99.99"]
+    got = minhash_signature_batch(texts)
+    # scalar-path expectation built inline (the pre-vectorization code)
+    num_perm, n = 64, 5
+    exp = np.full((len(texts), num_perm), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    for row, t in enumerate(texts):
+        t = t or ""
+        sh = [t] if len(t) < n else list({t[i:i+n] for i in range(len(t)-n+1)})
+        h1, h2 = hash64_pair(sh, seed=1719)
+        with np.errstate(over="ignore"):
+            for i in range(num_perm):
+                exp[row, i] = (h1 + np.uint64(i) * h2).min()
+    np.testing.assert_array_equal(got, exp)
+    # non-ASCII batch routes through the scalar path with the same result
+    got_u = minhash_signature_batch(["héllo wörld invoice", "plain ascii"])
+    exp_u = np.full((2, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for row, t in enumerate(["héllo wörld invoice", "plain ascii"]):
+        sh = list({t[i:i+n] for i in range(len(t)-n+1)})
+        h1, h2 = hash64_pair(sh, seed=1719)
+        with np.errstate(over="ignore"):
+            for i in range(num_perm):
+                exp_u[row, i] = (h1 + np.uint64(i) * h2).min()
+    np.testing.assert_array_equal(got_u, exp_u)
