@@ -931,7 +931,7 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
 
     def sig_rows(t: pa.Table) -> pa.Table:
         ids = [str(x) for x in t["doc_id"].to_pylist()]
-        sigs = minhash_signature_batch(t["text"].to_pylist())
+        sigs = minhash_signature_batch(t["text"].combine_chunks())
         rows = lsh_band_rows(ids, sigs)
         bucket = (rows["band_hash"].to_numpy() % np.uint64(n_buckets)).astype(np.int64)
         return rows.append_column("bucket", pa.array(bucket))
