@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "token_shards",
     "term_doc_freq",
     "kmeans_clusters",
+    "decontaminate",
 ]
 
 

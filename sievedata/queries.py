@@ -3953,6 +3953,132 @@ GROUP BY p
 """
 
 
+def q_decontaminate(sf_dir: str, modulus: int = 97, threshold: int = 50,
+                    n: int = 5):
+    """Benchmark decontamination: flag training documents whose distinct
+    char n-gram overlap with a held-out 'benchmark' set (docs with
+    doc_id % modulus == 0) reaches ``threshold`` — the canonical
+    pre-training hygiene pass (strip eval-set contamination from the
+    corpus).
+
+    Scale shape: the benchmark gram set is DISTINCT-aggregated
+    distributed (vocab-sized output), broadcast once via ray.put as a
+    sorted packed-uint64 array, and every training doc probes it with one
+    searchsorted over its own distinct grams — no join, no per-row Python.
+    Grams are length-tagged packed bytes (kernels/grams.py), lossless for
+    ASCII; a non-ASCII corpus or an over-guard vocabulary falls back to a
+    distributed string-gram join with identical semantics."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from sievedata.kernels import grams as G
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((ids % modulus) == 0))
+        txt = t["text"].combine_chunks()
+        if G.is_ascii(txt):
+            _, gram, _ = G.distinct_grams_packed(txt, n)
+            return pa.table({"gram": G.packed_to_strings(np.unique(gram), n)})
+        grams: set[str] = set()  # exact scalar path for a non-ASCII batch
+        for tx in txt.to_pylist():
+            if tx is not None:
+                grams |= {tx[i: i + n] for i in range(max(len(tx) - n + 1, 1))}
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    bench = (docs.map_batches(bench_gram_rows, batch_format="pyarrow")
+             .groupby("gram").count()
+             .materialize())  # vocab-sized
+    out_cols = ("doc_id", "n_overlap")
+    if bench.count() <= _NGRAM_VOCAB_BROADCAST_LIMIT:
+        bdf = bench.to_pandas()
+        grams_str = pa.array(bdf["gram"].to_numpy(), pa.string())
+        if G.is_ascii(grams_str):
+            _, packed, _ = G.distinct_grams_packed(grams_str, n)
+            # one gram per "doc" row ⇒ the packed set IS the distinct set
+            bench_ref = ray.put(np.unique(packed))
+
+            def probe(t: pa.Table) -> pa.Table:
+                bg = ray.get(bench_ref)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                keep_train = (ids % modulus) != 0
+                t = t.filter(pa.array(keep_train))
+                ids = ids[keep_train]
+                txt = t["text"].combine_chunks()
+                if G.is_ascii(txt):
+                    doc_idx, gram, _ = G.distinct_grams_packed(txt, n)
+                    pos = np.searchsorted(bg, gram)
+                    pos[pos >= len(bg)] = len(bg) - 1 if len(bg) else 0
+                    hit = bg[pos] == gram if len(bg) else np.zeros(
+                        len(gram), bool)
+                    cnt = np.bincount(doc_idx[hit], minlength=len(txt))
+                else:  # exact scalar fallback for a non-ASCII batch
+                    bset = set(G.packed_to_strings(bg, n).to_pylist())
+                    cnt = np.array([
+                        len({tx[i: i + n]
+                             for i in range(max(len(tx) - n + 1, 1))} & bset)
+                        if tx is not None else 0
+                        for tx in txt.to_pylist()], dtype=np.int64)
+                keep = cnt >= threshold
+                return pa.table({
+                    "doc_id": pa.array(ids[keep]),
+                    "n_overlap": pa.array(cnt[keep].astype(np.int64)),
+                })
+
+            return docs.map_batches(probe, batch_format="pyarrow")
+
+    # fallback: distributed string-gram join (non-ASCII corpus or a
+    # benchmark vocabulary too large to broadcast)
+    def train_gram_rows(t: pa.Table) -> pa.Table:
+        ids_np = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((ids_np % modulus) != 0))
+        ids_np = ids_np[(ids_np % modulus) != 0]
+        txt = t["text"].combine_chunks()
+        if G.is_ascii(txt):
+            doc_idx, gram, _ = G.distinct_grams_packed(txt, n)
+            return pa.table({
+                "doc_id": pa.array(ids_np[doc_idx]),
+                "gram": G.packed_to_strings(gram, n),
+            })
+        out_id, out_g = [], []
+        for d, tx in zip(ids_np, txt.to_pylist()):
+            if tx is None:
+                continue
+            for g in {tx[i: i + n] for i in range(max(len(tx) - n + 1, 1))}:
+                out_id.append(int(d))
+                out_g.append(g)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.string())})
+
+    joined = (docs.map_batches(train_gram_rows, batch_format="pyarrow")
+              .join(bench.select_columns(["gram"]), join_type="inner",
+                    num_partitions=16, on=("gram",))
+              .groupby("doc_id").aggregate(Count(alias_name="n_overlap")))
+    return joined.filter(expr=f"n_overlap >= {threshold}").select_columns(
+        list(out_cols))
+
+
+SQL_DECONTAMINATE = """
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents WHERE text IS NOT NULL
+),
+bench AS (
+  SELECT DISTINCT substr(text, i::INT, 5) AS g FROM e WHERE doc_id % 97 = 0),
+dg AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS g
+  FROM e WHERE doc_id % 97 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM dg JOIN bench USING (g)
+GROUP BY doc_id
+HAVING count(*) >= 50
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4017,6 +4143,7 @@ _ORACLE = {
     "term_doc_freq": SQL_TERM_DOC_FREQ,
     "union_ids": SQL_UNION_IDS,
     "approx_quantiles": SQL_APPROX_QUANTILES,
+    "decontaminate": SQL_DECONTAMINATE,
 }
 
 _QUERIES = {
@@ -4081,6 +4208,7 @@ _QUERIES = {
     "term_doc_freq": q_term_doc_freq,
     "union_ids": q_union_ids,
     "approx_quantiles": q_approx_quantiles,
+    "decontaminate": q_decontaminate,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
