@@ -3993,6 +3993,9 @@ def q_decontaminate(sf_dir: str, modulus: int = 97, threshold: int = 50,
              .groupby("gram").count()
              .materialize())  # vocab-sized
     out_cols = ("doc_id", "n_overlap")
+    if bench.count() == 0:  # no benchmark docs → nothing can be contaminated
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_overlap": pd.Series(dtype="int64")})
     if bench.count() <= _NGRAM_VOCAB_BROADCAST_LIMIT:
         bdf = bench.to_pandas()
         grams_str = pa.array(bdf["gram"].to_numpy(), pa.string())

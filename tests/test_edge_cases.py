@@ -129,3 +129,55 @@ def test_vendor_scope_threshold_overrides(ray_session, t1_tables, tmp_path):
     pd.testing.assert_series_equal(
         others_base["decision"].sort_index(), others_over["decision"].sort_index()
     )
+
+
+def test_text_queries_on_adversarial_documents(ray_session, tmp_path):
+    """NULL / empty / sub-n-gram / non-ASCII texts through the text-query
+    catalogue, engine vs DuckDB oracle on the same synthetic table —
+    covers the packed-gram ASCII fast paths' exact fallbacks and the
+    zero-benchmark decontamination edge."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from sievedata import queries as Q
+
+    sf = str(tmp_path)
+    rows = {
+        "doc_id": list(range(1, 21)),
+        "text": (["hello world common text"] * 5
+                 + [None, "", "ab", "abcd", "héllo wörld ünïcode"]
+                 + [f"the quick brown fox {i} jumps over" for i in range(10)]),
+        "lang": ["en"] * 10 + ["de"] * 10,
+        "source": ["s"] * 20,
+        "n_chars": [0] * 20,
+    }
+    pq.write_table(pa.table(rows), f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+
+    def canon(obj):
+        df = obj.to_pandas() if isinstance(obj, (ray.data.Dataset, pa.Table)) else obj
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    osql = Q.oracle_sql()
+    for name in ["token_shards", "term_doc_freq", "stratified_sample",
+                 "word_count", "ngram_jaccard_pairs", "exact_dedup_docs",
+                 "decontaminate"]:
+        got = canon(Q.queries()[name](sf))
+        want = canon(con.execute(osql[name]).fetch_df())
+        assert len(got) == len(want), name
+        assert list(got.columns) == list(want.columns), name
+        h = lambda d: hashlib.md5(
+            pd.util.hash_pandas_object(d, index=False).values.tobytes()
+        ).hexdigest()
+        assert h(got) == h(want), name
