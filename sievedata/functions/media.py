@@ -17,6 +17,7 @@ Decode support is tiered:
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -44,10 +45,17 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     deterministic sha256-derived vector is returned (stable across runs, so
     downstream plumbing is testable for any payload shape).
     """
-    if codecs.is_bmp(payload):
-        return codecs.image_features(codecs.bmp_decode(payload))
-    if codecs.is_wav(payload):
-        return codecs.audio_features(*codecs.wav_decode(payload))
+    # magic bytes are a sniff, not proof: arbitrary payloads (e.g. text
+    # starting with "BM") can collide, so a failed real decode falls back
+    # to the fake path when fake=True instead of raising
+    try:
+        if codecs.is_bmp(payload):
+            return codecs.image_features(codecs.bmp_decode(payload))
+        if codecs.is_wav(payload):
+            return codecs.audio_features(*codecs.wav_decode(payload))
+    except (ValueError, struct.error):
+        if not fake:
+            raise
     if not fake:
         raise NotImplementedError(
             "compressed-media codecs (PIL/ffmpeg) are not available in this "
@@ -84,10 +92,15 @@ class MediaResizer:
         return bytes(out[: self.thumb_bytes])
 
     def _resize_one(self, payload: bytes) -> bytes:
-        if codecs.is_bmp(payload):
-            img = codecs.bmp_decode(payload)
-            return codecs.bmp_encode(
-                codecs.bmp_resize_nearest(img, self.width, self.height))
+        try:
+            if codecs.is_bmp(payload):
+                img = codecs.bmp_decode(payload)
+                return codecs.bmp_encode(
+                    codecs.bmp_resize_nearest(img, self.width, self.height))
+        except (ValueError, struct.error):  # sniff collided with non-BMP
+            if not self.fake:
+                raise
+            return self._fake_resize(payload)
         if not self.fake:
             raise NotImplementedError(
                 "compressed-media codecs are not available; supply BMP "

@@ -27,10 +27,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# n bytes (n ≤ 7) occupy bits [0, 8n); the length tag sits above the widest
-# supported gram.  TAG_SHIFT = 56 keeps doc_idx room for 2**(64-60) ... we
-# instead place the tag at a fixed shift per call site; see _pack().
+# n bytes (n ≤ 7) occupy bits [0, 8n); the 3-bit length tag sits right above
+# them, and doc/pair indices occupy the remaining 64 − (8n+3) high bits.
 _MAX_N = 7
+
+
+def doc_capacity(n: int) -> int:
+    """Max doc/pair indices that fit above an n-gram's packed bits."""
+    return 1 << (64 - (8 * n + 3))
 
 
 def is_ascii(texts: pa.Array | pa.ChunkedArray) -> bool:
@@ -82,16 +86,27 @@ def distinct_grams_packed(
     (0 for null texts, which produce no rows — SQL ``WHERE text IS NOT
     NULL`` semantics).
 
-    Caller must ensure ``is_ascii(texts)`` and ``n <= 7``; batches are
-    capped at 2**22 documents (Ray batch sizes are far below this).
+    Caller must ensure ``is_ascii(texts)`` and ``n <= 7``.  The doc-index
+    tag occupies the 64 − (8n+3) bits above the gram, so batches beyond
+    that capacity (2**21 docs at n=5, 2**13 at n=6, 2**5 at n=7) are
+    processed in capacity-sized chunks and concatenated — same output,
+    never a silent key collision.
     """
     if n > _MAX_N:
         raise ValueError(f"n={n} exceeds packable width {_MAX_N}")
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     ndocs = len(texts)
-    if ndocs >= (1 << 22):
-        raise ValueError("batch too large for packed doc_idx namespace")
+    cap = doc_capacity(n)
+    if ndocs > cap:
+        idx_parts, gram_parts, dn_parts = [], [], []
+        for start in range(0, ndocs, cap):
+            di, g, dn = distinct_grams_packed(texts.slice(start, cap), n)
+            idx_parts.append(di + start)
+            gram_parts.append(g)
+            dn_parts.append(dn)
+        return (np.concatenate(idx_parts), np.concatenate(gram_parts),
+                np.concatenate(dn_parts))
     doc_n = np.zeros(ndocs, dtype=np.int64)
     if ndocs == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64), doc_n
@@ -218,11 +233,13 @@ def intersect_packed(
     rows = len(a_idx)
     if rows == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    if rows >= (1 << 20):  # keep pair-index tag inside uint64
-        mid = rows // 2
-        i1, u1 = intersect_packed(gram, starts, doc_n, a_idx[:mid], b_idx[:mid], n)
-        i2, u2 = intersect_packed(gram, starts, doc_n, a_idx[mid:], b_idx[mid:], n)
-        return np.concatenate([i1, i2]), np.concatenate([u1, u2])
+    cap = min(doc_capacity(n), 1 << 20)  # pair tag must fit; bound memory
+    if rows > cap:
+        outs = [intersect_packed(gram, starts, doc_n,
+                                 a_idx[s:s + cap], b_idx[s:s + cap], n)
+                for s in range(0, rows, cap)]
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
     key_shift = np.uint64(8 * n + 3)
     na = doc_n[a_idx]
     nb = doc_n[b_idx]
@@ -274,6 +291,13 @@ def pair_jaccard_counts(
     rows = len(texts_a)
     if rows == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
+    cap = doc_capacity(n)
+    if rows > cap:  # row tag must fit above the packed gram
+        outs = [pair_jaccard_counts(texts_a.slice(s, cap),
+                                    texts_b.slice(s, cap), n)
+                for s in range(0, rows, cap)]
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
     if is_ascii(texts_a) and is_ascii(texts_b):
         ia, ga, na = distinct_grams_packed(texts_a, n)
         ib, gb, nb = distinct_grams_packed(texts_b, n)
@@ -289,8 +313,9 @@ def pair_jaccard_counts(
     inter = np.empty(rows, dtype=np.int64)
     uni = np.empty(rows, dtype=np.int64)
     for i, (ta, tb) in enumerate(zip(texts_a.to_pylist(), texts_b.to_pylist())):
-        A = _py_gram_set(ta, n)
-        B = _py_gram_set(tb, n)
+        # null ⇒ empty gram set, matching the ASCII path (no rows for nulls)
+        A = _py_gram_set(ta, n) if ta is not None else set()
+        B = _py_gram_set(tb, n) if tb is not None else set()
         iv = len(A & B)
         inter[i] = iv
         uni[i] = len(A) + len(B) - iv

@@ -182,8 +182,11 @@ class PairScorer:
         # per-group desc-distance matrices keyed by the ordered vocab tuple:
         # the same doc set re-groups under several block families (invnum /
         # vendor / po / amount / LSH), so identical vocabularies recur and
-        # the O(v²) dict-lookup build repeats — cache the built matrix
+        # the O(v²) dict-lookup build repeats — cache the built matrix,
+        # bounded by total CELLS (matrices are v²×8 B; an entry count alone
+        # would let diverse large vocabularies pin GBs per actor)
         self._dmat_cache: dict[tuple[str, ...], np.ndarray] = {}
+        self._dmat_cells = 0
 
     def _desc_dist(self, a: str, b: str) -> float:
         from sievedata.kernels.similarity import jaro_winkler
@@ -366,8 +369,9 @@ class PairScorer:
                         d = self._desc_dist(dx, dy)  # symmetric; diag is 0
                         row[y] = d
                         D[y, x] = d
-                if len(self._dmat_cache) < 8192:
+                if self._dmat_cells + D.size <= 8_000_000:  # ≤ ~64 MB
                     self._dmat_cache[vkey] = D
+                    self._dmat_cells += D.size
             idxs = [
                 np.array(
                     [vocab[l["desc_norm"]] for l in d["lines"]], dtype=np.int64

@@ -1221,11 +1221,30 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
     Falls back to :func:`_ngram_pairs_generic` (string grams, shuffle df /
     prefix stages, same semantics) when a non-ASCII batch is detected, the
     vocabulary exceeds the broadcast limit, or n > 5."""
-    if n <= 5:
+    if n <= 5 and _probably_ascii_corpus(sf_dir):
         res = _ngram_pairs_ascii_fast(sf_dir, num, den, n)
         if res is not None:
             return res
     return _ngram_pairs_generic(sf_dir, num, den, n)
+
+
+def _probably_ascii_corpus(sf_dir: str, sample_rows: int = 1024) -> bool:
+    """Cheap routing probe: is the FIRST slice of documents.text ASCII?
+    Heuristic only — the fast path still detects a late non-ASCII batch
+    via its sentinel and falls back with identical results; this probe
+    just avoids paying the fast path's full gram pass twice on a corpus
+    that is obviously non-ASCII up front."""
+    import pyarrow.parquet as pq
+
+    from sievedata.kernels import grams as G
+
+    try:
+        pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+        for batch in pf.iter_batches(batch_size=sample_rows, columns=["text"]):
+            return G.is_ascii(batch.column(0))
+    except Exception:
+        return True  # non-file layouts: let the fast path's sentinel decide
+    return True
 
 
 def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
@@ -3650,6 +3669,9 @@ def q_stratified_sample(sf_dir: str, k: int = 10):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
     stats = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    if stats.get("min(doc_id)") is None:  # empty table → empty sample
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "lang": pd.Series(dtype="str")})
     lo = int(stats["min(doc_id)"])
     hi = int(stats["max(doc_id)"])
     n_bins = 256
@@ -3713,6 +3735,10 @@ def q_token_shards(sf_dir: str, budget: int = 10_000):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     stats = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    if stats.get("min(doc_id)") is None:  # empty table → empty sharding
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "tokens": pd.Series(dtype="int64"),
+                             "shard": pd.Series(dtype="int64")})
     lo = int(stats["min(doc_id)"])
     hi = int(stats["max(doc_id)"])
     n_bins = 256
@@ -3925,10 +3951,13 @@ def q_approx_quantiles(sf_dir: str, width: float = 1000.0):
         .groupby("bin")
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()          # sketch-sized: O(range/width) rows
-        .sort_values("bin")
     )
+    if len(bins) == 0:  # empty table (groupby loses the schema) → 0 rows
+        return pd.DataFrame({"p": pd.Series(dtype="int64"),
+                             "approx": pd.Series(dtype="float64")})
+    bins = bins.sort_values("bin")
     cum = np.cumsum(bins["c"].to_numpy())
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     out_p, out_a = [], []
     for p in (25, 50, 75, 95):
         need = np.ceil(p * n / 100.0)

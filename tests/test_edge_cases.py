@@ -181,3 +181,28 @@ def test_text_queries_on_adversarial_documents(ray_session, tmp_path):
             pd.util.hash_pandas_object(d, index=False).values.tobytes()
         ).hexdigest()
         assert h(got) == h(want), name
+
+
+def test_new_queries_on_empty_tables(ray_session, tmp_path):
+    """Empty documents/orders tables: stratified_sample, token_shards and
+    approx_quantiles return typed empty frames like their oracles, not
+    crashes."""
+    import pyarrow.parquet as pq
+
+    from sievedata import queries as Q
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }), f"{sf}/documents.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+        "o_totalprice": pa.array([], pa.float64()),
+    }), f"{sf}/orders.parquet")
+
+    assert len(Q.queries()["stratified_sample"](sf)) == 0
+    assert len(Q.queries()["token_shards"](sf)) == 0
+    assert len(Q.queries()["approx_quantiles"](sf)) == 0

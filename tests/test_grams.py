@@ -110,3 +110,52 @@ def test_non_ascii_falls_back_exactly():
         A, B = _py_grams(a, 3), _py_grams(b, 3)
         assert inter[i] == len(A & B)
         assert uni[i] == len(A | B)
+
+
+def test_capacity_chunking_n7_large_batch():
+    """n=7 leaves only 2**5 doc-index slots above the packed gram — a
+    40-doc batch must chunk, not silently alias documents (regression:
+    the old guard allowed 2**22 docs regardless of n)."""
+    rng = np.random.RandomState(11)
+    texts = ["".join(chr(97 + c) for c in rng.randint(0, 26, 30))
+             for _ in range(40)]
+    arr = pa.array(texts, pa.string())
+    for n in (6, 7):
+        doc_idx, gram, doc_n = G.distinct_grams_packed(arr, n)
+        decoded = G.packed_to_strings(gram, n).to_pylist()
+        per_doc = {}
+        for d, g in zip(doc_idx, decoded):
+            per_doc.setdefault(int(d), set()).add(g)
+        for d, tx in enumerate(texts):
+            assert per_doc.get(d, set()) == _py_grams(tx, n), (n, d)
+            assert doc_n[d] == len(_py_grams(tx, n))
+
+
+def test_intersect_packed_chunking_n7():
+    """Pair-index tags at n=7 fit only 32 pairs per chunk — larger pair
+    lists must chunk with identical results."""
+    rng = np.random.RandomState(12)
+    texts = ["".join(chr(97 + c) for c in rng.randint(0, 26, 25))
+             for _ in range(10)]
+    arr = pa.array(texts, pa.string())
+    n = 7
+    gram, starts, doc_n = G.pack_doc_grams(arr, n)
+    a_idx = rng.randint(0, 10, 200).astype(np.int64)
+    b_idx = rng.randint(0, 10, 200).astype(np.int64)
+    inter, uni = G.intersect_packed(gram, starts, doc_n, a_idx, b_idx, n)
+    for r in range(200):
+        A = _py_grams(texts[a_idx[r]], n)
+        B = _py_grams(texts[b_idx[r]], n)
+        assert inter[r] == len(A & B)
+        assert uni[r] == len(A | B)
+
+
+def test_pair_jaccard_counts_null_fallback():
+    """Non-ASCII batches with null texts: the scalar fallback must treat
+    null as an EMPTY gram set (matching the ASCII path), not crash."""
+    ta = pa.array(["héllo wörld", None, "abc"], pa.string())
+    tb = pa.array(["héllo wörld", "xyz", None], pa.string())
+    inter, uni = G.pair_jaccard_counts(ta, tb, 3)
+    assert inter[0] == len(_py_grams("héllo wörld", 3))
+    assert inter[1] == 0 and uni[1] == len(_py_grams("xyz", 3))
+    assert inter[2] == 0 and uni[2] == len(_py_grams("abc", 3))

@@ -102,3 +102,20 @@ def test_media_resizer_real_bmp():
     src = codecs.bmp_decode(synth_bmp(7, width=24, height=16))
     np.testing.assert_array_equal(
         thumb, codecs.bmp_resize_nearest(src, 8, 6))
+
+
+def test_fake_mode_survives_magic_collisions():
+    """fake=True must NEVER raise: payloads that merely start with 'BM' or
+    'RIFF' (e.g. document text cast to binary) fall back to the fake
+    decode instead of crashing the pipeline."""
+    from sievedata.functions.media import MediaResizer
+
+    for payload in (b"BMW dealership invoice 123",
+                    b"RIFFxxxxWAVEfmt \x02\x00\x00\x00ab",
+                    b"RIFF\x00\x00\x00\x00WAVE"):
+        f = decode_media(payload, "image", fake=True)
+        assert f.shape == (16,)
+        r = MediaResizer(width=8, height=8, fake=True)
+        assert isinstance(r._resize_one(payload), bytes)
+    with pytest.raises((ValueError, Exception)):
+        decode_media(b"BMW dealership invoice 123", "image", fake=False)
