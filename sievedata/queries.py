@@ -4111,6 +4111,84 @@ HAVING count(*) >= 50
 """
 
 
+def q_dedup_corpus(sf_dir: str):
+    """End-to-end corpus deduplication keep-list: exact-Jaccard near-dup
+    edges → connected components → keep each component's min-doc_id
+    representative (plus docs with no text, which have no dedup basis),
+    reporting each survivor's group size — the composition a training-data
+    pipeline actually runs before tokenization.
+
+    All stages are the already-oracle-checked distributed operators
+    (PPJoin edges, min-label propagation); the survivor selection adds one
+    component-size groupby and one hash join, both O(docs) Datasets end to
+    end — no driver-side union-find or keep-set."""
+    comps = q_dedup_components(sf_dir)  # Dataset: (doc_id, component)
+    sizes = comps.groupby("component").count()
+
+    def only_reps(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["doc_id"], t["component"])
+        return t.filter(keep)
+
+    reps = comps.map_batches(only_reps, batch_format="pyarrow")
+    joined = reps.join(sizes, join_type="inner", num_partitions=8,
+                       on=("component",))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "group_size": pc.cast(t["count()"], pa.int64()),
+        })
+
+    kept = joined.map_batches(project, batch_format="pyarrow")
+
+    def null_text_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["text"]))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "group_size": pa.array([1] * t.num_rows, pa.int64()),
+        })
+
+    no_basis = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        null_text_rows, batch_format="pyarrow")
+    return kept.union(no_basis)
+
+
+SQL_DEDUP_CORPUS = """
+WITH RECURSIVE
+e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, list(DISTINCT substr(text, i::INT, 5)) AS grams
+  FROM e GROUP BY doc_id
+),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.grams, b.grams)) AS inter,
+           len(a.grams) AS na, len(b.grams) AS nb
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  ) WHERE inter * 5 >= 4 * (na + nb - inter)
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM g
+  UNION
+  SELECT edg.dst, reach.r FROM reach JOIN edges edg ON reach.node = edg.src
+),
+comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS group_size FROM comp GROUP BY component)
+SELECT c.doc_id, CAST(s.group_size AS BIGINT) AS group_size
+FROM comp c JOIN sizes s USING (component)
+WHERE c.doc_id = c.component
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS group_size
+FROM documents WHERE text IS NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4176,6 +4254,7 @@ _ORACLE = {
     "union_ids": SQL_UNION_IDS,
     "approx_quantiles": SQL_APPROX_QUANTILES,
     "decontaminate": SQL_DECONTAMINATE,
+    "dedup_corpus": SQL_DEDUP_CORPUS,
 }
 
 _QUERIES = {
@@ -4241,6 +4320,7 @@ _QUERIES = {
     "union_ids": q_union_ids,
     "approx_quantiles": q_approx_quantiles,
     "decontaminate": q_decontaminate,
+    "dedup_corpus": q_dedup_corpus,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
