@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "term_doc_freq",
     "kmeans_clusters",
     "decontaminate",
+    "dedup_corpus",
 ]
 
 

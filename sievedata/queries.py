@@ -1247,7 +1247,8 @@ def _probably_ascii_corpus(sf_dir: str, sample_rows: int = 1024) -> bool:
     return True
 
 
-def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
+def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int,
+                            as_dataset: bool = False):
     import ray
 
     from sievedata.kernels import grams as G
@@ -1331,6 +1332,9 @@ def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
     empty = pd.DataFrame({c: pd.Series(dtype="int64")
                           for c in ("a", "b", "inter", "uni")})
     if pairs.count() == 0:
+        if as_dataset:
+            import ray.data as rd
+            return rd.from_pandas(empty)
         return empty
 
     texts = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -1410,8 +1414,8 @@ def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
                  "inter": pa.array(inter), "uni": pa.array(uni)}
             ).filter(pa.array(keep))
 
-        out = pairs.map_batches(verify_batch, batch_format="pyarrow",
-                                batch_size=16384).to_pandas()
+        out_ds = pairs.map_batches(verify_batch, batch_format="pyarrow",
+                                   batch_size=16384)
     else:
         joined = pairs.join(
             texts, join_type="inner", num_partitions=16,
@@ -1442,15 +1446,19 @@ def _ngram_pairs_ascii_fast(sf_dir: str, num: int, den: int, n: int):
                  "inter": pa.array(inter), "uni": pa.array(uni)}
             ).filter(pa.array(keep))
 
-        out = joined.map_batches(verify, batch_format="pyarrow",
-                                 batch_size=8192).to_pandas()
+        out_ds = joined.map_batches(verify, batch_format="pyarrow",
+                                    batch_size=8192)
 
+    if as_dataset:
+        return out_ds
+    out = out_ds.to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _ngram_pairs_generic(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
+def _ngram_pairs_generic(sf_dir: str, num: int = 4, den: int = 5,
+                         n: int = 5, as_dataset: bool = False):
     """EXACT char n-gram Jaccard near-dup pairs — generic PPJoin path for
     corpora the broadcast fast path can't serve (non-ASCII text or a gram
     vocabulary too large to broadcast): same semantics, with the df and
@@ -1566,6 +1574,9 @@ def _ngram_pairs_generic(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
                           for c in ("a", "b", "inter", "uni")})
     n_pairs = pairs.count()
     if n_pairs == 0:
+        if as_dataset:
+            import ray.data as rd
+            return rd.from_pandas(empty)
         return empty
 
     texts = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -1610,8 +1621,8 @@ def _ngram_pairs_generic(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
                  "inter": pa.array(inter), "uni": pa.array(uni)}
             ).filter(pa.array(keep))
 
-        out = pairs.map_batches(verify_batch, batch_format="pyarrow",
-                                batch_size=8192).to_pandas()
+        out_ds = pairs.map_batches(verify_batch, batch_format="pyarrow",
+                                   batch_size=8192)
     else:
         joined = pairs.join(
             texts, join_type="inner", num_partitions=16,
@@ -1643,12 +1654,26 @@ def _ngram_pairs_generic(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
                  "inter": pa.array(inter), "uni": pa.array(uni)}
             ).filter(pa.array(keep))
 
-        out = joined.map_batches(verify, batch_format="pyarrow",
-                                 batch_size=8192).to_pandas()
+        out_ds = joined.map_batches(verify, batch_format="pyarrow",
+                                    batch_size=8192)
 
+    if as_dataset:
+        return out_ds
+    out = out_ds.to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _ngram_pairs_dataset(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
+    """Near-dup pairs as a DATASET (for composition into bigger pipelines
+    like dedup clustering, where pulling the edge list to the driver would
+    be the round-1 scale sin): same routing as q_ngram_jaccard_pairs."""
+    if n <= 5 and _probably_ascii_corpus(sf_dir):
+        res = _ngram_pairs_ascii_fast(sf_dir, num, den, n, as_dataset=True)
+        if res is not None:
+            return res
+    return _ngram_pairs_generic(sf_dir, num, den, n, as_dataset=True)
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
@@ -2990,14 +3015,19 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
         )
         .materialize()
     )
-    edges_df = q_ngram_jaccard_pairs(sf_dir)[["a", "b"]]
-    if len(edges_df) == 0:
+    # edges stay a DATASET end to end (pulling the pair list to the driver
+    # would be O(edges) driver state — the round-1 scale sin class)
+    edges_ds = _ngram_pairs_dataset(sf_dir)
+
+    def symmetric(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = edges_ds.map_batches(symmetric, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
         return labels
-    sym = pd.concat([
-        edges_df.rename(columns={"a": "src", "b": "dst"}),
-        edges_df.rename(columns={"a": "dst", "b": "src"})[["src", "dst"]],
-    ], ignore_index=True)
-    edges = rd.from_pandas(sym).materialize()
 
     prev_sum = None
     for _ in range(max_iters):
