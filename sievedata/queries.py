@@ -2994,8 +2994,10 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
     by the label-sum fixpoint (min-labels decrease monotonically, so an
     unchanged integer sum ⇔ no label changed — one cheap aggregate instead
     of a diff join per round).  Rounds = graph diameter; near-dup clusters
-    are shallow.  The O(docs) label table stays a Dataset end-to-end — no
-    driver-side union-find."""
+    are shallow.  The loop iterates ONLY over edge-touched nodes (labels
+    of untouched docs cannot change — they union back in identity form at
+    the end), so each round shuffles the near-dup SUBGRAPH, not the whole
+    corpus.  Label tables stay Datasets end-to-end — no driver union-find."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -3029,27 +3031,66 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
     if edges.count() == 0:
         return labels
 
+    # propagate only over edge-touched nodes: identity labels of untouched
+    # docs can never change, so they skip every round's join/shuffle
+    sub = (
+        edges.select_columns(["src"])
+        .groupby("src").count()
+        .map_batches(
+            lambda t: pa.table({"doc_id": t["src"], "component": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     prev_sum = None
     for _ in range(max_iters):
         nbr = (
             edges.join(
-                labels, join_type="inner", num_partitions=8,
+                sub, join_type="inner", num_partitions=8,
                 on=("src",), right_on=("doc_id",),
             )
             .select_columns(["dst", "component"])
             .rename_columns({"dst": "doc_id"})
         )
-        labels = (
-            labels.union(nbr)
+        sub = (
+            sub.union(nbr)
             .groupby("doc_id")
             .aggregate(Min("component", alias_name="component"))
             .materialize()
         )
-        s = labels.sum("component")
+        s = sub.sum("component")
         if s == prev_sum:
             break
         prev_sum = s
-    return labels.select_columns(["doc_id", "component"])
+    sub = sub.select_columns(["doc_id", "component"]).materialize()
+
+    # untouched docs keep their identity label; touched ids are
+    # output-sized, so probe with a guarded broadcast (join fallback)
+    import ray
+
+    if sub.count() <= BROADCAST_MAX_ROWS:
+        touched_ref = ray.put(np.sort(
+            sub.to_pandas()["doc_id"].to_numpy().astype(np.int64)))
+
+        def untouched(t: pa.Table) -> pa.Table:
+            w = ray.get(touched_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(ids, w)))
+
+        rest = labels.map_batches(untouched, batch_format="pyarrow")
+    else:
+        rest = labels.join(
+            sub.map_batches(
+                lambda t: pa.table({"tid": t["doc_id"]}),
+                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=8,
+            on=("doc_id",), right_on=("tid",),
+        ).map_batches(
+            lambda t: t.filter(pc.is_null(t["tid"])).select(
+                ["doc_id", "component"]),
+            batch_format="pyarrow",
+        )
+    return rest.union(sub)
 
 
 SQL_DEDUP_COMPONENTS = """
