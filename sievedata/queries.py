@@ -1228,6 +1228,26 @@ def q_ngram_jaccard_pairs(sf_dir: str, num: int = 4, den: int = 5, n: int = 5):
     return _ngram_pairs_generic(sf_dir, num, den, n)
 
 
+def _drop_empty_blocks(ds):
+    """Rebuild a MATERIALIZED dataset from its non-empty Arrow block refs.
+
+    Ray 2.49's hash aggregate emits ZERO-COLUMN empty blocks for empty
+    partitions (observed after union-with-join lineage); a later
+    ``Dataset.join`` fails FieldRef resolution on any partition that only
+    receives them.  Filtering by block METADATA moves no data — refs are
+    re-wrapped, never fetched."""
+    import ray.data as rd
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
+
+
 def _probably_ascii_corpus(sf_dir: str, sample_rows: int = 1024) -> bool:
     """Cheap routing probe: is the FIRST slice of documents.text ASCII?
     Heuristic only — the fast path still detects a late non-ASCII batch
@@ -3058,6 +3078,9 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
             .aggregate(Min("component", alias_name="component"))
             .materialize()
         )
+        # empty hash partitions emit zero-column blocks that break the
+        # next round's join FieldRef resolution — strip them (refs only)
+        sub = _drop_empty_blocks(sub) or sub
         s = sub.sum("component")
         if s == prev_sum:
             break
@@ -4193,8 +4216,10 @@ def q_dedup_corpus(sf_dir: str):
     (PPJoin edges, min-label propagation); the survivor selection adds one
     component-size groupby and one hash join, both O(docs) Datasets end to
     end — no driver-side union-find or keep-set."""
-    comps = q_dedup_components(sf_dir)  # Dataset: (doc_id, component)
-    sizes = comps.groupby("component").count()
+    comps = q_dedup_components(sf_dir).materialize()  # (doc_id, component)
+    comps = _drop_empty_blocks(comps) or comps
+    sizes = comps.groupby("component").count().materialize()
+    sizes = _drop_empty_blocks(sizes) or sizes
 
     def only_reps(t: pa.Table) -> pa.Table:
         keep = pc.equal(t["doc_id"], t["component"])

@@ -8,6 +8,7 @@ sievedata.run ...`` with address taken from the environment):
     python -m sievedata.run score    --input I --profiles P --bloom B --run-dir DIR
     python -m sievedata.run export   --input I --run-dir DIR --out DIR
                                      [--vendor V] [--from D] [--to D] [--fmt csv]
+    python -m sievedata.run dedup    --input DIR --out DIR
     python -m sievedata.run fixture  --out DIR --docs N --vendors V [--ray]
 
 Owns the Ray session (scripts/CLIs init Ray; library code never does).
@@ -53,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--to", dest="date_to", default=None)
     se.add_argument("--fmt", choices=("parquet", "csv"), default="parquet")
 
+    sd = sub.add_parser("dedup")
+    sd.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--no-resume", action="store_true")
+
     sf = sub.add_parser("fixture")
     sf.add_argument("--out", required=True)
     sf.add_argument("--docs", type=int, default=2000)
@@ -95,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.profiles, args.bloom, args.run_dir,
                 resume=not args.no_resume,
             )
+        elif args.cmd == "dedup":
+            from sievedata.pipelines.dedup import dedup_corpus
+
+            out = dedup_corpus(args.input, args.out,
+                               resume=not args.no_resume)
         elif args.cmd == "export":
             from sievedata.pipelines.export import export_decisions
 

@@ -206,3 +206,32 @@ def test_new_queries_on_empty_tables(ray_session, tmp_path):
     assert len(Q.queries()["stratified_sample"](sf)) == 0
     assert len(Q.queries()["token_shards"](sf)) == 0
     assert len(Q.queries()["approx_quantiles"](sf)) == 0
+
+
+def test_dedup_cli_resumable(ray_session, tmp_path):
+    """The dedup CLI stage writes an atomic keep-list and a re-run resumes
+    (skips) byte-identically."""
+    import pyarrow.parquet as pq
+
+    from sievedata.pipelines.dedup import dedup_corpus
+
+    sf = str(tmp_path / "in")
+    import os
+    os.makedirs(sf)
+    texts = (["the quick brown fox jumps over the lazy dog"] * 3
+             + [f"unique document number {i} with words" for i in range(7)])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(1, 11)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 10, pa.string()),
+        "source": pa.array(["s"] * 10, pa.string()),
+        "n_chars": pa.array([0] * 10, pa.int64()),
+    }), f"{sf}/documents.parquet")
+    out_dir = str(tmp_path / "keep")
+    r1 = dedup_corpus(sf, out_dir)
+    assert r1["resumed"] is False
+    assert r1["n_survivors"] == 8  # 3 exact near-dups collapse to 1
+    df1 = pq.read_table(out_dir).to_pandas().sort_values("doc_id")
+    assert df1[df1.doc_id == 1]["group_size"].iloc[0] == 3
+    r2 = dedup_corpus(sf, out_dir)
+    assert r2["resumed"] is True and r2["n_survivors"] == 8
