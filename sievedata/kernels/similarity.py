@@ -227,14 +227,28 @@ def dice_3gram(a_text: str, b_text: str) -> float:
 def dice_3gram_batch(texts_a: list[str], texts_b: list[str]) -> "np.ndarray":
     """Vectorized :func:`dice_3gram` over row-aligned text pairs — packed
     uint64 3-gram sets + one np.unique (kernels/grams.py) instead of one
-    Python setcomp per text.  Both texts of a pair must have len ≥ 3
-    (below that ``ngram_set`` is EMPTY while the packed kernel yields the
-    whole-text gram; callers route short pairs through the scalar).  The
-    final expression is the identical float op as the scalar
-    (2.0·overlap/denom on exact integers)."""
+    Python setcomp per text.  Rows where either side has len < 3 are routed
+    through the scalar (the packed kernel emits a whole-text gram there
+    while ``ngram_set`` is EMPTY — a quiet divergence otherwise guarded
+    only by caller discipline).  The final expression is the identical
+    float op as the scalar (2.0·overlap/denom on exact integers)."""
     import pyarrow as pa
 
     from sievedata.kernels import grams as G
+
+    la = np.fromiter((len(t) for t in texts_a), np.int64, len(texts_a))
+    lb = np.fromiter((len(t) for t in texts_b), np.int64, len(texts_b))
+    short = (la < 3) | (lb < 3)
+    if short.any():
+        out = np.empty(len(texts_a), np.float64)
+        long_ix = np.flatnonzero(~short)
+        if long_ix.size:
+            out[long_ix] = dice_3gram_batch(
+                [texts_a[i] for i in long_ix], [texts_b[i] for i in long_ix]
+            )
+        for i in np.flatnonzero(short):
+            out[i] = dice_3gram(texts_a[i], texts_b[i])
+        return out
 
     inter, uni = G.pair_jaccard_counts(
         pa.array(texts_a, pa.string()), pa.array(texts_b, pa.string()), 3

@@ -173,9 +173,14 @@ class PairScorer:
     LIMIT-200 analog.  ``per_doc_window=w`` opts into a doc_id-ordered
     nearest-neighbor window for degenerate groups."""
 
-    def __init__(self, block_group_cap: int = 200, per_doc_window: int | None = None):
+    def __init__(self, block_group_cap: int = 200, per_doc_window: int | None = None,
+                 emit_total_diff: bool = False):
         self.block_group_cap = block_group_cap
         self.per_doc_window = per_doc_window
+        # training-only side channel (T2 weak labels need the ABSOLUTE
+        # dollar delta, scripts/train_duplicate.py:63-66); off in scoring
+        # so the pair schema there is unchanged
+        self.emit_total_diff = emit_total_diff
         self._dice_cache: dict[tuple[str, str], float] = {}
         self._inv_cache: dict[tuple[str, str], float] = {}
         self._desc_cache: dict[tuple[str, str], float] = {}
@@ -411,13 +416,23 @@ class PairScorer:
                         bool(a["pdf_hash"]) and a["pdf_hash"] == b["pdf_hash"]
                     )
                     vec = [float(feats.get(name, 0.0)) for name in FEATURE_ORDER]
-                    out_rows.append(
-                        (a["doc_id"], b["doc_id"], a["partition_key"], prio, pdf_equal, *vec)
+                    row_out = (
+                        a["doc_id"], b["doc_id"], a["partition_key"], prio, pdf_equal, *vec
                     )
+                    if self.emit_total_diff:
+                        from sievedata.kernels.features import _to_float
+
+                        row_out = row_out + (
+                            abs(_to_float(a.get("total")) - _to_float(b.get("total"))),
+                        )
+                    out_rows.append(row_out)
         if not out_rows:
-            return _EMPTY_PAIRS
+            return (_EMPTY_PAIRS.assign(abs_total_diff=pd.Series(dtype="float64"))
+                    if self.emit_total_diff else _EMPTY_PAIRS)
         cols = ["doc_id", "cand_id", "partition_key", "family_priority",
                 "pdf_equal"] + _FEAT_COLS
+        if self.emit_total_diff:
+            cols = cols + ["abs_total_diff"]
         return pd.DataFrame(out_rows, columns=cols)
 
 

@@ -2809,6 +2809,7 @@ def q_semi_join(sf_dir: str, threshold: float = 300_000.0):
         .groupby("o_custkey")
         .count()
         .select_columns(["o_custkey"])
+        .materialize()  # count() below + the probe/join both consume it
     )
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     if keys_ds.count() > BROADCAST_MAX_ROWS:
@@ -3063,6 +3064,7 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
         .materialize()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -3083,8 +3085,17 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
         sub = _drop_empty_blocks(sub) or sub
         s = sub.sum("component")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # silent exit would hand wrong labels to dedup_corpus / the CLI
+        # keep-list; a chain with diameter > max_iters must fail loudly
+        raise RuntimeError(
+            f"dedup_components: min-label propagation did not converge in "
+            f"{max_iters} rounds (graph diameter exceeds budget); raise "
+            f"max_iters"
+        )
     sub = sub.select_columns(["doc_id", "component"]).materialize()
 
     # untouched docs keep their identity label; touched ids are
@@ -3955,6 +3966,14 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8, sample_cap: int = 20_000):
         .limit(sample_cap)
         .to_pandas()
     )
+    if len(sample) == 0:
+        # empty-table convention (stratified_sample, token_shards, …):
+        # np.vstack over [] raises — return a typed empty frame instead
+        return pd.DataFrame({
+            "cluster": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "sim_micro": pd.Series([], dtype="int64"),
+        })
     mat = np.vstack([np.asarray(v, dtype=np.float64)
                      for v in sample["embedding"]])
     cent_ref = ray.put(kmeans_fit(mat, k))
