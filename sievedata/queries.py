@@ -2441,21 +2441,34 @@ GROUP BY o.o_orderkey
 
 def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
                    n_centroids: int = 16, n_probe: int = 4):
-    """IVF-bucketed ANN (the scale path): k-means coarse quantizer fit on a
-    driver-side sample, corpus assigned to centroids in map_batches, queries
-    probe only their top-``n_probe`` clusters.  Approximate by design →
-    rows-only; recall vs brute force is asserted in tests/test_ann.py."""
+    """IVF top-k with GUARANTEED-EXACT probing (the scale path, now
+    driver-hash-checkable): k-means coarse quantizer fit on a driver-side
+    sample, corpus assigned to centroids in map_batches, queries probe
+    their top-``n_probe`` clusters first — then the angular triangle
+    inequality closes the loop: a point x in cluster c satisfies
+    angle(q,x) ≥ angle(q,μ_c) − r_c (r_c = cluster max radius, distributed
+    max), so any unprobed cluster whose similarity UPPER BOUND
+    cos(max(0, θ_qc − r_c)) still beats the current k-th candidate is
+    probed in a follow-up filtered pass.  Pruning only skips provably-empty
+    clusters → the result is the EXACT top-k, oracle-checked against the
+    same brute-force SQL as ``ann_topk``; the IVF machinery is verified by
+    that exactness.  Shuffle-free: only (queries × k) candidate rows per
+    block leave the workers; each pass streams the probed clusters only."""
     import ray
 
     from sievedata.functions.ann import (
-        BruteForceTopK, IVFAssign, ivf_probe_clusters, kmeans_fit, merge_topk,
+        BruteForceTopK, _normalize, kmeans_fit, make_ivf_assign_fn, merge_topk,
     )
 
     sample = (
         _rp(sf_dir, "embeddings", ["embedding"]).limit(10000).to_pandas()
     )
+    if len(sample) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
     sm = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
-    cent = kmeans_fit(sm, k=n_centroids)
+    cent = _normalize(kmeans_fit(sm, k=n_centroids))
     cent_ref = ray.put(cent)
 
     qdf = (
@@ -2465,30 +2478,95 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     )
     qids = qdf["vec_id"].to_numpy()
     qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
-    probes = ivf_probe_clusters(qm, cent, n_probe)
-    probe_set = sorted({int(c) for row in probes for c in row})
-    probe_ref = ray.put(set(probe_set))
     queries_ref = ray.put((qids, qm))
 
-    def in_probed(t: pa.Table) -> pa.Table:
-        keep = ray.get(probe_ref)
-        mask = [int(c) in keep for c in t["cluster"].to_numpy(zero_copy_only=False)]
-        return t.filter(pa.array(mask))
-
-    cands = (
+    assigned = (
         _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(IVFAssign, batch_format="pyarrow", concurrency=(1, 4),
-                     fn_constructor_kwargs={"centroids_ref": cent_ref})
-        .map_batches(in_probed, batch_format="pyarrow")
-        .map_batches(
-            BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
-            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        )
-        .to_pandas()
+        .map_batches(make_ivf_assign_fn(cent_ref), batch_format="pyarrow")
+        .materialize()  # probed passes below re-filter it without re-reading
     )
+
+    # per-cluster max angular radius — per-batch partials (≤ n_centroids
+    # rows each), tiny driver combine
+    def radius_partials(t: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        if emb.size == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "radius": pa.array([], pa.float64())})
+        emb = _normalize(emb)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = np.einsum("ij,ij->i", emb, cent[cl])
+        ang = np.arccos(np.clip(sims, -1.0, 1.0))
+        uniq, inv = np.unique(cl, return_inverse=True)
+        rmax = np.zeros(len(uniq))
+        np.maximum.at(rmax, inv, ang)
+        return pa.table({"cluster": pa.array(uniq, pa.int64()),
+                         "radius": pa.array(rmax, pa.float64())})
+
+    rad = (
+        assigned.map_batches(radius_partials, batch_format="pyarrow")
+        .to_pandas()  # ≤ n_centroids × n_blocks rows
+        .groupby("cluster")["radius"].max()
+    )
+    live = rad.index.to_numpy()  # clusters that actually hold points
+    radius = rad.to_numpy()
+
+    # similarity upper bound per (query, live cluster), with float slack so
+    # pruning is strictly conservative
+    eps = 1e-9
+    qn = _normalize(qm)
+    theta = np.arccos(np.clip(qn @ cent[live].T, -1.0, 1.0))
+    ub = np.cos(np.maximum(0.0, theta - radius[None, :] - eps)) + eps
+
+    def probe_pass(clusters: set) -> pd.DataFrame:
+        keep = np.array(sorted(clusters), dtype=np.int64)
+
+        def in_probed(t: pa.Table) -> pa.Table:
+            cl = t["cluster"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(cl, keep)))
+
+        return (
+            assigned.map_batches(in_probed, batch_format="pyarrow")
+            .map_batches(
+                BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
+                fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+            )
+            .to_pandas()
+        )
+
+    order = np.argsort(-ub, axis=1)
+    probed = {int(live[c]) for qi in range(len(qids))
+              for c in order[qi, : min(n_probe, len(live))]}
+    cands = probe_pass(probed)
+
+    for _ in range(len(live)):  # ≤ one expansion per remaining cluster set
+        cur = cands[cands["query_id"] != cands["neighbor_id"]]
+        cur = cur.drop_duplicates(["query_id", "neighbor_id"])
+        top = (cur.sort_values(["query_id", "sim"], ascending=[True, False],
+                               kind="mergesort")
+               .groupby("query_id").head(k).groupby("query_id")["sim"])
+        kmin, kcnt = top.min(), top.count()
+        kth = kmin.where(kcnt >= k, -np.inf)  # < k candidates → keep probing
+        need: set = set()
+        for qi, qid in enumerate(qids):
+            skq = kth.get(int(qid), -np.inf)
+            for ci, c in enumerate(live):
+                if int(c) not in probed and ub[qi, ci] > skq - eps:
+                    need.add(int(c))
+        if not need:
+            break
+        probed |= need
+        cands = pd.concat([cands, probe_pass(need)], ignore_index=True)
+
     cands = cands[cands["query_id"] != cands["neighbor_id"]]
+    cands = cands.drop_duplicates(["query_id", "neighbor_id"])
     out = merge_topk(cands, k=k)
     return out[["query_id", "neighbor_id", "rank"]]
+
+
+SQL_ANN_IVF_TOPK = SQL_ANN_TOPK  # exact by construction — same brute-force oracle
 
 
 def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
@@ -2501,8 +2579,12 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     Corpus rows outside the probed bucket set are dropped BEFORE the matmul
     — per-bucket cost is N/2^bits on balanced data, and the bucket ids
     hash-partition across nodes with no driver-side corpus state.
-    Approximate by design → rows-only; recall vs brute force is asserted in
-    tests/test_ann.py."""
+
+    Driver-checkable despite being approximate: the planes are a fixed
+    seeded constant, so the WHOLE algorithm (signatures → hamming-≤p probe
+    set → candidate union → top-k among candidates) is reproduced verbatim
+    in SQL with the planes as literals (``SQL_ANN_LSH_TOPK``); recall vs
+    brute force is additionally asserted in tests/test_ann.py."""
     import ray
 
     from sievedata.functions.ann import (
@@ -2554,6 +2636,56 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     cands = cands[cands["query_id"] != cands["neighbor_id"]]
     out = merge_topk(cands, k=k)
     return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _sql_ann_lsh_topk(dim: int = 64, n_bits: int = 6, hamming_probe: int = 2,
+                      k: int = 5, n_queries: int = 5) -> str:
+    """SQL mirror of q_ann_lsh_topk: the seeded hyperplanes are embedded as
+    DOUBLE literals (repr round-trips exactly), signatures are sign bits of
+    raw dot products (normalization never flips a sign), the candidate set
+    is the UNION over queries of hamming-≤p buckets (the engine filters the
+    corpus against the whole probe set, then every query scores every
+    survivor), and top-k ties break by neighbor_id like merge_topk."""
+    from sievedata.functions.ann import make_planes
+
+    planes = make_planes(dim, n_bits=n_bits)
+    rows = ",\n         ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            b, ", ".join(repr(float(v)) for v in planes[b]))
+        for b in range(n_bits)
+    )
+    return f"""
+WITH planes(b, p) AS (VALUES {rows}),
+sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding, p.p) > 0
+                       THEN 1 << p.b ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+qsig AS (SELECT vec_id, sig FROM sig WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT c.vec_id
+  FROM sig c JOIN qsig q ON bit_count(xor(c.sig, q.sig)) <= {hamming_probe}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(qe.embedding, ce.embedding) AS sim
+  FROM qsig q
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  CROSS JOIN cand c
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+  WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
 def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45, n_clusters: int = 16):
@@ -4329,6 +4461,8 @@ _ORACLE = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "line_sum_check": SQL_LINE_SUM_CHECK,
