@@ -120,26 +120,65 @@ def fingerprint_column(text: pa.Array | pa.ChunkedArray, seed: int = 9001) -> pa
 
 
 def simhash_column(texts: list[str], n: int = 4, seed: int = 4242) -> np.ndarray:
-    """64-bit SimHash per document over char n-gram features.
+    """64-bit SimHash per document over DISTINCT char n-gram features.
 
-    Per batch: shingle each doc, hash shingles, accumulate signed bit votes.
-    """
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        if len(t) < n:
-            shingles = [t]
-        else:
-            shingles = [t[j : j + n] for j in range(len(t) - n + 1)]
-        hs = hash64(list(set(shingles)), seed=seed)
-        if hs.size == 0:
-            continue
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig
+    Vectorized across the whole batch (the minhash_signature_batch
+    treatment): one distinct-shingle extraction (packed uint64 windows on
+    the ascii fast path), ONE hash call over the concatenated shingle list,
+    then per-doc signed bit votes via ``np.add.reduceat`` — bit-identical
+    to the old per-doc loop (votes are order-insensitive sums over the same
+    distinct-gram hash values; short texts yield the whole text)."""
+    from sievedata.kernels import grams as G
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        arr = texts if not texts.null_count else pc.fill_null(texts, "")
+    else:
+        arr = pa.array([t if t is not None else "" for t in texts], pa.string())
+    n_docs = len(arr)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    if n <= 7 and G.is_ascii(arr):
+        _, gram, doc_n = G.distinct_grams_packed(arr, n)
+        shingles = G.packed_to_strings(gram, n)
+        offsets = np.concatenate(([0], np.cumsum(doc_n))).astype(np.int64)
+    else:
+        all_shingles: list[str] = []
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        for row, t in enumerate(arr.to_pylist()):
+            t = t or ""
+            sh = [t] if len(t) < n else list({t[i: i + n] for i in range(len(t) - n + 1)})
+            all_shingles.extend(sh)
+            offsets[row + 1] = offsets[row] + len(sh)
+        shingles = all_shingles
+    if len(shingles) == 0:
+        return out
+    h = hash64(shingles, seed=seed)
+    counts = np.diff(offsets)
+    bit_ix = np.arange(64, dtype=np.uint64)
+    # chunk docs so the (grams × 64) vote matrix stays bounded
+    max_grams = 262_144
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0
+        g = 0
+        while d1 < n_docs and (g == 0 or g + counts[d1] <= max_grams):
+            g += counts[d1]
+            d1 += 1
+        hs = h[offsets[d0]:offsets[d1]]
+        sub_counts = counts[d0:d1]
+        sub_starts = (offsets[d0:d1] - offsets[d0])
+        nonempty = sub_counts > 0
+        if hs.size and nonempty.any():
+            bits = ((hs[:, None] >> bit_ix) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bits, sub_starts[nonempty], axis=0)
+            votes = 2 * sums - sub_counts[nonempty][:, None]
+            sig = ((votes > 0).astype(np.uint64) << bit_ix[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            out[d0 + np.flatnonzero(nonempty)] = sig
+        d0 = d1
     return out
 
 

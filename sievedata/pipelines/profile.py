@@ -53,18 +53,25 @@ def _sketch_partials(batch: pa.Table) -> pa.Table:
     kinds_hist = _span_kind_counts(batch)
 
     rows = {k: [] for k in ("partition_key", "moments", "tdigest", "hll_doc_id", "hll_invnum", "span_hist")}
-    for key in np.unique(pk[mask]):
-        sel = mask & (pk == key)
-        idx = pa.array(np.flatnonzero(sel), pa.int64())
-        m = Moments().update(totals[sel])
-        td = TDigest().update(totals[sel])
-        h_doc = HyperLogLog().update(doc_id.take(idx))
-        h_inv = HyperLogLog().update(invnum.take(idx))
+    # one sort over eligible rows instead of a per-key full-batch mask;
+    # stable argsort keeps ascending original order within each group, so
+    # the float accumulation order (Moments/TDigest) is bit-identical
+    midx = np.flatnonzero(mask)
+    uniq, inv = np.unique(pk[midx], return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    for gi, key in enumerate(uniq):
+        idx_e = midx[order[bounds[gi]:bounds[gi + 1]]]
+        idx = pa.array(idx_e, pa.int64())
+        m = Moments().update(totals[idx_e])
+        td = TDigest().update(totals[idx_e])
         rows["partition_key"].append(str(key))
         rows["moments"].append(m.to_bytes())
         rows["tdigest"].append(td.to_bytes())
-        rows["hll_doc_id"].append(h_doc.to_bytes())
-        rows["hll_invnum"].append(h_inv.to_bytes())
+        # sparse HLL partials (~3 B/register touched vs 4 KB dense) — the
+        # merge in _merge_sketch_group is register-max, bit-identical
+        rows["hll_doc_id"].append(HyperLogLog.sparse_partial(doc_id.take(idx)))
+        rows["hll_invnum"].append(HyperLogLog.sparse_partial(invnum.take(idx)))
         rows["span_hist"].append(json.dumps(kinds_hist.get(str(key), {}), sort_keys=True))
     return pa.table(
         {
@@ -110,8 +117,8 @@ def _merge_sketch_group(df: pd.DataFrame) -> pd.DataFrame:
     ):
         m = m.merged(Moments.from_bytes(mb))
         td = td.merged(TDigest.from_bytes(tb))
-        h_doc = h_doc.merged(HyperLogLog.from_bytes(hdb))
-        h_inv = h_inv.merged(HyperLogLog.from_bytes(hib))
+        h_doc.merge_sparse(hdb)
+        h_inv.merge_sparse(hib)
         for k, v in json.loads(shb).items():
             hist[k] = hist.get(k, 0) + v
     return pd.DataFrame(

@@ -71,9 +71,14 @@ CHECKED_COLUMNS = [
 ]
 
 
-def _batch_line_texts(batch: pa.Table) -> list[str]:
+def _batch_line_texts(batch: pa.Table) -> pa.Array:
     """Per-doc normalized line text (space-joined desc_norm of '|'-encoded
-    line spans) — the near-text similarity base, computed once in stage 1."""
+    line spans) — the near-text similarity base, computed once in stage 1.
+
+    Fully vectorized: line-span parents are non-decreasing (flatten preserves
+    doc order), so per-doc offsets fall out of one searchsorted and the join
+    is a single ``pc.binary_join`` over a rebuilt list array — no per-span
+    python."""
     from sievedata.kernels.normalize import desc_norm_array
 
     n = batch.num_rows
@@ -84,14 +89,11 @@ def _batch_line_texts(batch: pa.Table) -> list[str]:
     kind = np.asarray(values.field("kind").to_numpy(zero_copy_only=False))
     line_mask = kind == "line"
     line_text = values.field("text").take(pa.array(np.flatnonzero(line_mask), pa.int64()))
-    descs = desc_norm_array(pc.list_element(pc.split_pattern(line_text, "|"), 0)).to_pylist()
-    texts = [""] * n
-    buf: dict[int, list[str]] = {}
-    for p, d in zip(parent[line_mask], descs):
-        buf.setdefault(int(p), []).append(d or "")
-    for p, parts_list in buf.items():
-        texts[p] = " ".join(parts_list)
-    return texts
+    descs = desc_norm_array(pc.list_element(pc.split_pattern(line_text, "|"), 0))
+    descs = pc.fill_null(descs, "")  # (d or "") in the old per-span loop
+    offsets = np.searchsorted(parent[line_mask], np.arange(n + 1, dtype=np.int64))
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), descs)
+    return pc.binary_join(lists, " ")  # empty list → "" like the old default
 
 
 def _mat_to_fixed_bin(mat: np.ndarray) -> pa.Array:
@@ -127,6 +129,16 @@ class ValidateConfig:
     neartext: bool = True
     neartext_bands: int = 8
     neartext_jaccard: float = 0.9
+    # two-pass band-group prefilter: pass A shuffles ONLY the 8-byte band
+    # group hashes to find multi-doc groups (~2-10% of rows on real
+    # corpora), pass B ships the 128 B signatures only for those rows —
+    # cuts the dominant stage-2 shuffle ~5-10× with provably identical
+    # output (the checker drops singleton groups anyway)
+    neartext_prefilter: bool = True
+    n_mix_buckets: int = 512
+    # driver-side cap for the multi-group hash set (8 B each); above it the
+    # filter falls back to a distributed join on the mix column
+    broadcast_max_rows: int = 4_000_000
     psi_threshold: float = 0.2
     # sampling-noise floor: E[PSI] ≈ (B−1)(1/n_cur + 1/n_base) under H0
     # (chi-square approximation), so small partitions use an elevated
@@ -286,14 +298,50 @@ _BLOCK_FIELDS = {
 _EMPTY_BLOCKS = pa.table({k: pa.array([], t) for k, t in _BLOCK_FIELDS.items()})
 
 
-def _make_explode_blocks(n_buckets: int):
+_BLOCK_FAMILIES = (("invnum", "invnum_norm"), ("pdf", "pdf_hash"), ("po", "po_number"))
+
+
+def _family_mixes(elig: pa.Table, family: str, key_col: str):
+    """(sub_table, mix) for one blocking family: rows with a non-null key and
+    the 64-bit hash of the full (partition_key ␟ family ␟ key) group key —
+    the shuffle bucket source AND the prefilter dedup key."""
+    from sievedata.sketches.hashing import hash64
+
+    keys = elig.column(key_col)
+    sub = elig.filter(pc.invert(pc.is_null(keys)))
+    if sub.num_rows == 0:
+        return sub, np.empty(0, np.uint64)
+    combined = pc.binary_join_element_wise(
+        sub.column("partition_key").cast(pa.string()),
+        pa.scalar(family),
+        sub.column(key_col).cast(pa.string()),
+        "\x1f",
+    )
+    return sub, hash64(combined.combine_chunks(), seed=31)
+
+
+def _probe_multis(mix: np.ndarray, multis: np.ndarray) -> np.ndarray:
+    """Membership mask of each mix in the sorted multi-group hash set."""
+    if not multis.size or not mix.size:
+        return np.zeros(len(mix), dtype=bool)
+    pos = np.searchsorted(multis, mix)
+    return (pos < len(multis)) & (multis[np.minimum(pos, len(multis) - 1)] == mix)
+
+
+def _make_explode_blocks(n_buckets: int, multis_ref=None):
     def explode(batch: pa.Table) -> pa.Table:
         """Emit (partition_key, family, block_key, bucket) rows for the dup
         families — the reference's blocking keys (app/retrieval.py:22-29) —
         PLUS pass-through per-doc violation rows (family="viol", computed
-        from stage-1 flags), so one read + one shuffle serves both paths."""
+        from stage-1 flags), so one read + one shuffle serves both paths.
+        With ``multis_ref`` (the prefilter's multi-doc group hash set), rows
+        of globally-singleton block groups are dropped BEFORE the shuffle —
+        the bucket checker ignores them anyway (dup rules need ≥2 docs)."""
+        import ray
+
         from sievedata.sketches.hashing import hash64
 
+        multis = ray.get(multis_ref) if multis_ref is not None else None
         outs = []
         viol = _per_doc_violations(batch)
         if viol.num_rows:
@@ -321,18 +369,15 @@ def _make_explode_blocks(n_buckets: int):
         elig = batch.filter(mask)
         if elig.num_rows == 0:
             return pa.concat_tables(outs) if outs else _EMPTY_BLOCKS
-        for family, key_col in (("invnum", "invnum_norm"), ("pdf", "pdf_hash"), ("po", "po_number")):
-            keys = elig.column(key_col)
-            sub = elig.filter(pc.invert(pc.is_null(keys)))
+        for family, key_col in _BLOCK_FAMILIES:
+            sub, mix = _family_mixes(elig, family, key_col)
+            if multis is not None and sub.num_rows:
+                keep = _probe_multis(mix, multis)
+                sub = sub.filter(pa.array(keep))
+                mix = mix[keep]
             if sub.num_rows == 0:
                 continue
-            combined = pc.binary_join_element_wise(
-                sub.column("partition_key").cast(pa.string()),
-                pa.scalar(family),
-                sub.column(key_col).cast(pa.string()),
-                "\x1f",
-            )
-            bucket = (hash64(combined.combine_chunks(), seed=31) % np.uint64(n_buckets)).astype(np.int64)
+            bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
             outs.append(
                 pa.table(
                     {
@@ -491,9 +536,8 @@ def _make_neartext_rows(n_buckets: int, bands: int):
     per-row python.
     """
 
-    def fn(batch: pa.Table) -> pa.Table:
-        from sievedata.functions.dedup import lsh_band_arrays
-        from sievedata.sketches.hashing import hash64
+    def fn(batch: pa.Table, multis_ref=None) -> pa.Table:
+        import ray
 
         elig = batch.filter(batch.column("eligible"))
         n = elig.num_rows
@@ -509,17 +553,20 @@ def _make_neartext_rows(n_buckets: int, bands: int):
             )
 
         sig_col = elig.column("neartext_sig").combine_chunks()
-        sig16 = _fixed_bin_to_mat(sig_col, np.uint16, 64)
-        # band on the truncated slots (u64 view so the FNV mix matches the
-        # oracle's lsh_band_rows over the same truncated values)
-        band_ids, band_hashes = lsh_band_arrays(sig16.astype(np.uint64), bands=bands)
-        idx = np.tile(np.arange(n, dtype=np.int64), bands)
-        take = pa.array(idx)
-        # bucket = f(full group key): per-doc pk hash tiled band-major
         pk_col = elig.column("partition_key").combine_chunks()
-        pk_h = np.tile(hash64(pk_col, seed=43), bands)
-        with np.errstate(over="ignore"):
-            mix = (band_hashes * np.uint64(31) + band_ids.astype(np.uint64)) ^ pk_h
+        band_ids, band_hashes, mix = _band_mixes(sig_col, pk_col, bands)
+        idx = np.tile(np.arange(n, dtype=np.int64), bands)
+        if multis_ref is not None:
+            # keep only rows whose exact band group has ≥2 docs globally
+            # (singleton groups are dropped by the checker anyway): a mix
+            # collision can only KEEP an extra row, never lose one — the
+            # checker still groups by the exact (pk, band, hash) triple
+            keep = _probe_multis(mix, ray.get(multis_ref))
+            if not keep.any():
+                return fn(batch.slice(0, 0))
+            band_ids, band_hashes, mix = band_ids[keep], band_hashes[keep], mix[keep]
+            idx = idx[keep]
+        take = pa.array(idx)
         bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
         return pa.table(
             {
@@ -534,6 +581,69 @@ def _make_neartext_rows(n_buckets: int, bands: int):
         )
 
     return fn
+
+
+def _band_mixes(sig_col: pa.Array, pk_col: pa.Array, bands: int):
+    """Shared banding: (band_ids, band_hashes, mix) band-major; ``mix`` is
+    the 64-bit hash of the full (partition_key, band_id, band_hash) group
+    key — the shuffle bucket source AND the prefilter dedup key."""
+    from sievedata.functions.dedup import lsh_band_arrays
+    from sievedata.sketches.hashing import hash64
+
+    sig16 = _fixed_bin_to_mat(sig_col, np.uint16, 64)
+    # band on the truncated slots (u64 view so the FNV mix matches the
+    # oracle's lsh_band_rows over the same truncated values)
+    band_ids, band_hashes = lsh_band_arrays(sig16.astype(np.uint64), bands=bands)
+    pk_h = np.tile(hash64(pk_col, seed=43), bands)
+    with np.errstate(over="ignore"):
+        mix = (band_hashes * np.uint64(31) + band_ids.astype(np.uint64)) ^ pk_h
+    return band_ids, band_hashes, mix
+
+
+def _make_stage2_mix_partials(cfg: "ValidateConfig"):
+    """Pass A of the stage-2 prefilter, fused over ALL dup-group keyings
+    (the three exact block families + the neartext LSH bands): per-batch
+    distinct (group-hash, count) partials — 16 bytes/row instead of the
+    ~100-190 B block/band rows, and templated corpora collapse within the
+    batch already.  One read of the checked intermediate serves every
+    family."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        elig = batch.filter(batch.column("eligible"))
+        if elig.num_rows == 0:
+            return pa.table({"mix": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "mbucket": pa.array([], pa.int64())})
+        mixes = [np.empty(0, np.uint64)]
+        for family, key_col in _BLOCK_FAMILIES:
+            _, m = _family_mixes(elig, family, key_col)
+            mixes.append(m)
+        if cfg.neartext:
+            _, _, m = _band_mixes(
+                elig.column("neartext_sig").combine_chunks(),
+                elig.column("partition_key").combine_chunks(),
+                cfg.neartext_bands)
+            mixes.append(m)
+        u, c = np.unique(np.concatenate(mixes), return_counts=True)
+        return pa.table({
+            "mix": pa.array(u.view(np.int64)),
+            "n": pa.array(c.astype(np.int64)),
+            "mbucket": pa.array((u % np.uint64(cfg.n_mix_buckets)).astype(np.int64)),
+        })
+
+    return fn
+
+
+def _multi_mixes(group: pd.DataFrame) -> pd.DataFrame:
+    """Per mix-bucket: band-group hashes whose global doc count is ≥ 2."""
+    if not len(group):
+        return pd.DataFrame({"mix": pd.Series(dtype="int64")})
+    mix = group["mix"].to_numpy()
+    n = group["n"].to_numpy()
+    u, inv = np.unique(mix, return_inverse=True)
+    tot = np.zeros(len(u), dtype=np.int64)
+    np.add.at(tot, inv, n)
+    return pd.DataFrame({"mix": u[tot >= 2]})
 
 
 def _make_neartext_checker(cfg: ValidateConfig):
@@ -639,23 +749,32 @@ def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> 
     invnum = batch.column("invnum_norm").combine_chunks()
 
     keys, n_docs, n_elig, bins, hll_doc, hll_inv, span_sums = [], [], [], [], [], [], []
-    for key in np.unique(pk):
-        sel = pk == key
-        sel_e = sel & eligible
+    # one sort instead of a per-key mask over the whole batch (the
+    # _span_kind_counts idiom): group rows = order[bounds[g]:bounds[g+1]],
+    # ascending original index within each group (stable argsort), so every
+    # per-group value is bit-identical to the old flatnonzero path
+    uniq, inv = np.unique(pk, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    for gi, key in enumerate(uniq):
+        idx_all = order[bounds[gi]:bounds[gi + 1]]
+        idx_e = idx_all[eligible[idx_all]]
         edges = edges_by_pk.get(str(key))
-        if edges is not None and sel_e.any():
-            binned = np.searchsorted(edges, total[sel_e], side="right")
+        if edges is not None and idx_e.size:
+            binned = np.searchsorted(edges, total[idx_e], side="right")
             c = np.bincount(binned, minlength=len(edges) + 1).astype(np.int64)
         else:
             c = np.zeros(0, dtype=np.int64)
-        idx = pa.array(np.flatnonzero(sel_e), pa.int64())
+        idx = pa.array(idx_e, pa.int64())
         keys.append(str(key))
-        n_docs.append(int(sel.sum()))
-        n_elig.append(int(sel_e.sum()))
+        n_docs.append(int(idx_all.size))
+        n_elig.append(int(idx_e.size))
         bins.append(c.tolist())
-        span_sums.append(int(n_spans[sel_e].sum()))
-        hll_doc.append(HyperLogLog().update(doc_id.take(idx)).to_bytes())
-        hll_inv.append(HyperLogLog().update(invnum.take(idx)).to_bytes())
+        span_sums.append(int(n_spans[idx_e].sum()))
+        # sparse partials: ~3 B per touched register instead of the 4 KB
+        # dense image — the stage-3 shuffle is partials × partitions-sized
+        hll_doc.append(HyperLogLog.sparse_partial(doc_id.take(idx)))
+        hll_inv.append(HyperLogLog.sparse_partial(invnum.take(idx)))
     return pa.table(
         {
             "partition_key": pa.array(keys, pa.string()),
@@ -677,9 +796,9 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
         h_doc = HyperLogLog()
         h_inv = HyperLogLog()
         for b in g["hll_doc_id"]:
-            h_doc = h_doc.merged(HyperLogLog.from_bytes(b))
+            h_doc.merge_sparse(b)
         for b in g["hll_invnum"]:
-            h_inv = h_inv.merged(HyperLogLog.from_bytes(b))
+            h_inv.merge_sparse(b)
         lens = [len(b) for b in g["bin_counts"]]
         max_len = max(lens) if lens else 0
         cur_counts = np.zeros(max_len, dtype=np.int64)
@@ -819,6 +938,35 @@ def validate_documents(
     def _stage2_violations() -> None:
         if resume and stage_done(violations_dir):
             return
+        # pass A (prefilter): ONE narrow shuffle of the 8-byte group hashes
+        # across ALL dup keyings (3 exact block families + neartext bands)
+        # finds the multi-doc groups; passes B then ship block/band rows
+        # only for those — ~5-10× less shuffle volume on real dup rates,
+        # provably identical output (singleton groups produce nothing)
+        multis_ref = None
+        any_multi = True
+        if cfg.neartext_prefilter:
+            mix_cols = ["partition_key", "eligible", "invnum_norm",
+                        "pdf_hash", "po_number"]
+            if cfg.neartext:
+                mix_cols.append("neartext_sig")
+            mix_ds = (
+                read_documents(checked_dir, columns=mix_cols)
+                .map_batches(_make_stage2_mix_partials(cfg), batch_format="pyarrow")
+                .groupby("mbucket")
+                .map_groups(_multi_mixes, batch_format="pandas")
+                .materialize()
+            )
+            n_multi = mix_ds.count()
+            if n_multi == 0:
+                any_multi = False  # no group anywhere has ≥2 docs
+            elif n_multi <= cfg.broadcast_max_rows:
+                multis = np.sort(
+                    mix_ds.to_pandas()["mix"].to_numpy().view(np.uint64))
+                multis_ref = ray.put(multis)
+            # above the guard the collided fraction is large and the
+            # filter wouldn't shrink the shuffle — run unfiltered
+
         blocks = (
             read_documents(
                 checked_dir,
@@ -828,7 +976,14 @@ def validate_documents(
                     "is_credit", "bank_change", "amount_z", "is_outlier",
                 ],
             )
-            .map_batches(_make_explode_blocks(cfg.n_dup_buckets), batch_format="pyarrow")
+            .map_batches(
+                _make_explode_blocks(
+                    cfg.n_dup_buckets,
+                    multis_ref if any_multi else ray.put(np.empty(0, np.uint64)),
+                ) if (multis_ref is not None or not any_multi)
+                else _make_explode_blocks(cfg.n_dup_buckets),
+                batch_format="pyarrow",
+            )
             .groupby("bucket")
             .map_groups(_make_bucket_checker(cfg), batch_format="pandas")
         )
@@ -840,7 +995,7 @@ def validate_documents(
             # same committed dir): concurrent branches of a union contend
             # for the same CPU pool and thrash (~2× slower, measured)
             blocks.write_parquet(tmp)
-            if cfg.neartext:
+            if cfg.neartext and any_multi:
                 from sievedata.sketches.hashing import hash64 as _h64
 
                 def _doc_bucket(t: pa.Table) -> pa.Table:
@@ -848,16 +1003,18 @@ def validate_documents(
                          % np.uint64(cfg.n_dup_buckets)).astype(np.int64)
                     return t.append_column("doc_bucket", pa.array(b))
 
+                rows_fn = _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands)
+                nt_fn = (
+                    (lambda t, _r=multis_ref: rows_fn(t, _r))
+                    if multis_ref is not None else rows_fn
+                )
                 neartext = (
                     read_documents(
                         checked_dir,
                         columns=["doc_id", "partition_key", "pdf_hash",
                                  "eligible", "neartext_sig"],
                     )
-                    .map_batches(
-                        _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands),
-                        batch_format="pyarrow",
-                    )
+                    .map_batches(nt_fn, batch_format="pyarrow")
                     .groupby("bucket")
                     .map_groups(_make_neartext_checker(cfg), batch_format="pandas")
                     .map_batches(_doc_bucket, batch_format="pyarrow")
@@ -885,15 +1042,34 @@ def validate_documents(
     _mark("stage3_partials")
 
     # Stage 4: assemble verdicts per (partition, check) from violation
-    # counts.  Distributed groupby-count over a pruned 2-column read — the
-    # violations table is O(docs) on pathological data and must never land
-    # on the driver; only O(partitions × reason codes) count rows do.
-    vio_counts = (
-        read_documents(violations_dir, columns=["partition_key", "reason_code"])
-        .groupby(["partition_key", "reason_code"])
-        .count()
-        .to_pandas()
-    )
+    # counts.  Small outputs (the common case) count on the driver with one
+    # pruned pyarrow read — a Dataset job costs ~3 s of fixed plan/shuffle
+    # overhead that never amortizes here; pathological O(docs) violation
+    # tables (> the size guard) fall back to the distributed groupby-count,
+    # where only O(partitions × reason codes) count rows reach the driver.
+    vio_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(violations_dir)
+        for f in fs if f.endswith(".parquet")
+    ]
+    vio_bytes = sum(os.path.getsize(f) for f in vio_files)
+    if vio_bytes <= 256 * 1024 * 1024:
+        vt = pa.concat_tables([
+            pq.read_table(f, columns=["partition_key", "reason_code"])
+            for f in vio_files
+        ]) if vio_files else pa.table({"partition_key": pa.array([], pa.string()),
+                                       "reason_code": pa.array([], pa.string())})
+        vio_counts = (
+            vt.to_pandas().groupby(["partition_key", "reason_code"], sort=False)
+            .size().rename("count()").reset_index()
+        )
+    else:
+        vio_counts = (
+            read_documents(violations_dir, columns=["partition_key", "reason_code"])
+            .groupby(["partition_key", "reason_code"])
+            .count()
+            .to_pandas()
+        )
     n_docs_by_pk = part_verdicts.groupby("partition_key")["n_docs"].max().to_dict()
     check_of_reason = {
         REASON_MISSING_FIELD: CHECK_SCHEMA,

@@ -55,6 +55,31 @@ class HyperLogLog:
         return bytes([self.p]) + self.registers.tobytes()
 
     @classmethod
+    def sparse_partial(cls, values, p: int = 12) -> bytes:
+        """Sparse partial-update blob for a SMALL value set: only the
+        non-zero (register index, rank) pairs — ~3 B per distinct register
+        instead of the 4 KB dense image, a 50×+ cut in per-(batch, key)
+        partial shuffle volume.  Merging all partials with
+        :meth:`merge_sparse` yields registers bit-identical to dense
+        updates (register max is associative/commutative/idempotent).
+
+        Layout: k little-endian uint16 indices, then k uint8 ranks
+        (k = len(blob) // 3); requires p ≤ 16."""
+        assert p <= 16
+        tmp = cls(p)
+        tmp.update(values)
+        nz = np.flatnonzero(tmp.registers)
+        return (nz.astype("<u2").tobytes() + tmp.registers[nz].tobytes())
+
+    def merge_sparse(self, blob: bytes) -> "HyperLogLog":
+        k = len(blob) // 3
+        if k:
+            idx = np.frombuffer(blob[: 2 * k], dtype="<u2").astype(np.int64)
+            rank = np.frombuffer(blob[2 * k:], dtype=np.uint8)
+            np.maximum.at(self.registers, idx, rank)
+        return self
+
+    @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
         p = data[0]
         regs = np.frombuffer(data[1:], dtype=np.uint8).copy()
