@@ -287,9 +287,11 @@ def make_doc(
 
 
 def doc_to_spans(doc: dict) -> list[dict]:
-    """Encode a document dict as the ordered span sequence (FIXTURES.md §1.1)."""
+    """Encode a document dict as the ordered span sequence (FIXTURES.md §1.1).
+    A ``tenant_id`` field (multi-tenant corpora) becomes the leading span."""
     spans: list[tuple[str, str, str]] = []
     for kind in (
+        "tenant_id",
         "vendor_id", "vendor_name", "invoice_number", "invoice_date", "currency",
     ):
         v = doc.get(kind)
@@ -439,6 +441,57 @@ def generate_fixture_ray(
     pq.write_table(catalog, paths["media_catalog"])
     with open(done_marker, "w") as f:
         f.write("")
+    return paths
+
+
+def generate_two_tenant_fixture(
+    out_dir: str, n_docs: int, n_vendors: int, seed: int = SEED_DEFAULT,
+    tenants: tuple[str, ...] = ("T1", "T2"),
+) -> dict[str, str]:
+    """Multi-tenant fixture: the SAME vendors and invoice content replicated
+    under every tenant (tenant_id span prepended, doc ids tenant-prefixed) —
+    the adversarial shape for tenant isolation: identical vendor ids,
+    invoice numbers and pdf hashes exist across tenants and must never pair
+    (mirrors app/retrieval.py:20's tenant_id-first keying)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "documents": os.path.join(out_dir, "documents.parquet"),
+        "baseline": os.path.join(out_dir, "baseline.parquet"),
+        "media_catalog": os.path.join(out_dir, "media_catalog.parquet"),
+    }
+    all_refs: set[str] = set()
+    for table, path_key in (("current", "documents"), ("baseline", "baseline")):
+        doc_ids: list[str] = []
+        span_lists: list[list[dict]] = []
+        counts = zipf_counts(n_docs, n_vendors)
+        for tenant in tenants:
+            for v in range(n_vendors):
+                for seq in range(int(counts[v])):
+                    doc, twin = make_doc(seed, v, seq, table)
+                    for d in (doc, twin) if twin is not None else (doc,):
+                        d = dict(d)
+                        d["tenant_id"] = tenant
+                        d["doc_id"] = f"{tenant}:{d['doc_id']}"
+                        doc_ids.append(d["doc_id"])
+                        span_lists.append(doc_to_spans(d))
+                        if d["vclass"] != "refmiss":
+                            all_refs.add(d["media_ref"])
+        pq.write_table(
+            pa.Table.from_pydict(
+                {"doc_id": doc_ids, "spans": span_lists}, schema=DOCUMENTS),
+            paths[path_key],
+        )
+    refs = sorted(all_refs)
+    epoch = np.datetime64("2025-01-01T00:00:00", "us")
+    catalog = pa.Table.from_pydict(
+        {
+            "media_ref": refs,
+            "size_bytes": [1000 + (len(r) * 37) % 9000 for r in refs],
+            "first_seen": [epoch + np.timedelta64(i, "s") for i in range(len(refs))],
+        },
+        schema=MEDIA_CATALOG,
+    )
+    pq.write_table(catalog, paths["media_catalog"])
     return paths
 
 

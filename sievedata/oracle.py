@@ -45,6 +45,9 @@ def parse_doc_row(doc_id: str, spans: list[dict]) -> dict:
             fields[k] = s["text"]
     fields["lines"] = lines
     fields["n_spans"] = len(spans)
+    # composite tenant ␟ vendor partition key, mirroring the engine parse
+    t, v = fields.get("tenant_id"), fields.get("vendor_id")
+    fields["partition_key"] = (f"{t}\x1f{v}" if t is not None else v) if v is not None else None
     missing = [k for k in REQUIRED_KINDS if fields.get(k) is None]
     if not lines:
         missing.append("line_items")
@@ -82,7 +85,7 @@ def oracle_validate(
 
     # ---- per-doc checks -------------------------------------------------
     for d in docs:
-        pk = d.get("vendor_id") or ""
+        pk = d.get("partition_key") or ""
         d["pk"] = pk
         if d["missing"]:
             violations.append((pk, d["doc_id"], REASON_MISSING_FIELD, f"missing={d['missing']}"))

@@ -77,8 +77,12 @@ class ScoreConfig:
     model_path: str | None = None
     # per-partition threshold overrides — the reference's vendor-scoped
     # configs (app/schema.sql:99-107, scope "vendor:{id}" per
-    # implementation.md:344): {partition_key: (review, hold)}
+    # implementation.md:344): {partition_key: (review, hold)} — sugar that
+    # populates vendor:{pk} scopes in the layered config below
     threshold_overrides: dict | None = None
+    # layered runtime config (ST4 parity, app/main.py:211-235): arbitrary
+    # keys resolved vendor:{partition_key} → global → dataclass default
+    config: "ConfigStore | None" = None
 
 
 def doc_line_text(lines_col: pa.ChunkedArray | pa.ListArray) -> pa.Array:
@@ -570,7 +574,16 @@ class FinalizeDecisions:
         self.bloom = BloomFilter.from_bytes(ray.get(bloom_ref))
         self.review_threshold = cfg_dict["review_threshold"]
         self.hold_threshold = cfg_dict["hold_threshold"]
-        self.overrides = cfg_dict.get("threshold_overrides") or {}
+        # layered scope resolution (vendor:{pk} → global → default),
+        # app/main.py:211-235 + implementation.md:344; the legacy flat
+        # threshold_overrides dict folds into vendor scopes
+        from sievedata.config import ConfigStore
+
+        base = cfg_dict.get("config")
+        self.config = ConfigStore(dict(base._entries) if base is not None else {})
+        for pk, (rev, hold) in (cfg_dict.get("threshold_overrides") or {}).items():
+            self.config.set(f"vendor:{pk}", "review_threshold", rev)
+            self.config.set(f"vendor:{pk}", "hold_threshold", hold)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from sievedata.kernels.anomaly import anomaly_score_vec
@@ -612,13 +625,13 @@ class FinalizeDecisions:
             merged["dup_prob"].to_numpy(), anom_prob, bank_change,
             merged["text_dup_prob"].to_numpy(),
         )
-        # per-partition (vendor-scoped) threshold overrides, vectorized
-        t_rev = merged["partition_key"].map(
-            lambda k: self.overrides.get(k, (self.review_threshold, self.hold_threshold))[0]
-        ).to_numpy()
-        t_hold = merged["partition_key"].map(
-            lambda k: self.overrides.get(k, (self.review_threshold, self.hold_threshold))[1]
-        ).to_numpy()
+        # per-partition thresholds via the layered scope chain, vectorized
+        # (one lookup per distinct vendor in the group)
+        pks = merged["partition_key"].to_numpy()
+        t_rev = self.config.resolve_floats(
+            "review_threshold", self.review_threshold, pks)
+        t_hold = self.config.resolve_floats(
+            "hold_threshold", self.hold_threshold, pks)
         if (t_hold < t_rev).any():
             raise ValueError("hold_threshold must be >= review_threshold for every scope")
         decision = np.where(
@@ -745,9 +758,12 @@ def _make_reduce_finalize_fn(cfg, profiles_ref, bloom_ref, cfg_dict: dict):
 
 
 def _make_finalize_fn(profiles_ref, bloom_ref, cfg_dict: dict):
+    cfg_store = cfg_dict.get("config")
     cfg_key = (
         cfg_dict["review_threshold"], cfg_dict["hold_threshold"],
         tuple(sorted((cfg_dict.get("threshold_overrides") or {}).items())),
+        tuple(sorted((k, repr(v)) for k, v in cfg_store._entries.items()))
+        if cfg_store is not None else (),
     )
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -859,7 +875,8 @@ def score_documents(
                 cfg, profiles_ref, bloom_ref,
                 {"review_threshold": cfg.review_threshold,
                  "hold_threshold": cfg.hold_threshold,
-                 "threshold_overrides": cfg.threshold_overrides},
+                 "threshold_overrides": cfg.threshold_overrides,
+                 "config": cfg.config},
             ),
             batch_format="pandas",
         )
@@ -869,8 +886,13 @@ def score_documents(
 
     # case sink (S6, app/case.py:16-50): OPEN case per HOLD/REVIEW decision
     # with an SLA due date; deterministic run_date instead of NOW() so batch
-    # re-runs are idempotent (OPS-002).  Dataset-side filter + write — the
-    # decisions table is O(docs) and never lands on the driver.
+    # re-runs are idempotent (OPS-002).  UPSERT semantics like the
+    # reference's ON CONFLICT DO UPDATE: an existing case (keyed case_id)
+    # is re-opened with a fresh sla_due/updated_run but KEEPS its
+    # created_run and analyst fields (disposition, disposition_user,
+    # disposition_at, notes — schema app/schema.sql:82-96); cases whose doc
+    # got no flag this run are carried over untouched.  Dataset-side merge
+    # (case_id-bucket cogroup) — neither table lands on the driver.
     import datetime as _dt
     import json as _json
     import shutil
@@ -879,6 +901,7 @@ def score_documents(
 
     run_date = _dt.date(2026, 1, 1)
     sla_due = (run_date + _dt.timedelta(days=2)).isoformat()
+    cases_path = os.path.join(run_dir, "cases.parquet")
 
     def to_cases(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(pc.equal(t["decision"], "PASS")))
@@ -895,20 +918,86 @@ def score_documents(
                 "risk_score": t["risk_score"],
                 "status": pa.array(["OPEN"] * t.num_rows, pa.string()),
                 "sla_due": pa.array([sla_due] * t.num_rows, pa.string()),
+                "disposition": pa.nulls(t.num_rows, pa.string()),
+                "disposition_user": pa.nulls(t.num_rows, pa.string()),
+                "disposition_at": pa.nulls(t.num_rows, pa.string()),
+                "notes": pa.nulls(t.num_rows, pa.string()),
+                "created_run": pa.array([run_date.isoformat()] * t.num_rows, pa.string()),
+                "updated_run": pa.array([run_date.isoformat()] * t.num_rows, pa.string()),
             }
         )
 
-    cases_path = os.path.join(run_dir, "cases.parquet")
-    if os.path.isdir(cases_path):
-        shutil.rmtree(cases_path)
-    (
+    new_cases = (
         rd.read_parquet(
             decisions_dir,
             columns=["doc_id", "partition_key", "decision", "risk_score"],
         )
         .map_batches(to_cases, batch_format="pyarrow")
-        .write_parquet(cases_path)
     )
+
+    have_existing = os.path.isdir(cases_path) and any(
+        f.endswith(".parquet") for f in os.listdir(cases_path)
+    )
+    if have_existing:
+        from sievedata.sketches.hashing import hash64 as _h64
+
+        _CASE_COLS = ["case_id", "doc_id", "partition_key", "decision",
+                      "risk_score", "status", "sla_due", "disposition",
+                      "disposition_user", "disposition_at", "notes",
+                      "created_run", "updated_run"]
+
+        def _tag(side: str):
+            def fn(t: pa.Table) -> pa.Table:
+                for col in _CASE_COLS:  # legacy 7-column cases tables
+                    if col not in t.column_names:
+                        t = t.append_column(col, pa.nulls(t.num_rows, pa.string()))
+                t = t.select(_CASE_COLS)
+                b = (_h64(t["case_id"].combine_chunks(), seed=73)
+                     % np.uint64(cfg.n_buckets)).astype(np.int64)
+                t = t.append_column("side", pa.array([side] * t.num_rows, pa.string()))
+                return t.append_column("case_bucket", pa.array(b))
+            return fn
+
+        def upsert(df: pd.DataFrame) -> pd.DataFrame:
+            old = df[df["side"] == "old"].set_index("case_id")
+            new = df[df["side"] == "new"].set_index("case_id")
+            # updated rows: new values, analyst fields + created_run kept
+            both = new.index.intersection(old.index)
+            merged = new.copy()
+            for col in ("disposition", "disposition_user", "disposition_at",
+                        "notes", "created_run"):
+                merged.loc[both, col] = old.loc[both, col]
+            carried = old.loc[old.index.difference(new.index)]
+            out = pd.concat([merged, carried]).sort_index().reset_index()
+            return out[_CASE_COLS]
+
+        # all-null analyst columns come back as Arrow type null from the
+        # pandas groups — pin every block to one schema (null→string casts
+        # are free; the reverse is unsupported and breaks the read)
+        def _pin_schema(t: pa.Table) -> pa.Table:
+            return pa.table({
+                c: t[c].cast(pa.float64() if c == "risk_score" else pa.string())
+                for c in _CASE_COLS
+            })
+
+        old_cases = rd.read_parquet(cases_path).map_batches(
+            _tag("old"), batch_format="pyarrow")
+        merged_cases = (
+            old_cases.union(new_cases.map_batches(_tag("new"), batch_format="pyarrow"))
+            .groupby("case_bucket")
+            .map_groups(upsert, batch_format="pandas")
+            .map_batches(_pin_schema, batch_format="pyarrow")
+        )
+        tmp_cases = cases_path + "._tmp"
+        if os.path.isdir(tmp_cases):
+            shutil.rmtree(tmp_cases)
+        merged_cases.write_parquet(tmp_cases)
+        shutil.rmtree(cases_path)
+        os.rename(tmp_cases, cases_path)
+    else:
+        if os.path.isdir(cases_path):
+            shutil.rmtree(cases_path)
+        new_cases.write_parquet(cases_path)
 
     counts = _decision_counts(decisions_dir)
 

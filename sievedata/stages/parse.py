@@ -22,7 +22,8 @@ from sievedata.kernels.normalize import invnum_norm_array
 from sievedata.schema import HEADER_KINDS, REQUIRED_KINDS
 
 PARSED_COLUMNS = [
-    "doc_id", "spans", "partition_key", "vendor_name", "invoice_number",
+    "doc_id", "spans", "partition_key", "tenant_id", "vendor_name",
+    "invoice_number",
     "invnum_norm", "invoice_date", "currency", "total", "tax_total",
     "po_number", "remit_account", "remit_name", "terms", "media_ref",
     "pdf_hash", "n_lines", "line_amount_sum", "missing_fields", "is_credit",
@@ -76,7 +77,32 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
         mask = kind_np == k
         header_cols[k] = _scatter_first(n, parent, mask, text)
 
-    cols["partition_key"] = header_cols["vendor_id"]
+    # tenant dimension: an optional "tenant_id" span composes into the
+    # partition key (tenant ␟ vendor), mirroring the reference's composite
+    # keying (app/retrieval.py:20 WHERE tenant_id=:t AND vendor_id=:v,
+    # app/schema.sql:21-24) — blocking, profiles, drift, manifests and every
+    # dup family inherit tenant isolation through the one key.  Single-tenant
+    # corpora (no tenant span) keep partition_key == vendor_id unchanged.
+    tenant_mask = kind_np == "tenant_id"
+    cols["tenant_id"] = _scatter_first(n, parent, tenant_mask, text)
+    if tenant_mask.any():
+        cols["partition_key"] = pc.if_else(
+            pc.is_null(cols["tenant_id"]),
+            header_cols["vendor_id"],
+            pc.binary_join_element_wise(
+                pc.fill_null(cols["tenant_id"], ""),
+                pc.fill_null(header_cols["vendor_id"], ""),
+                "\x1f",
+            ),
+        )
+        # a null vendor with a tenant still needs a null partition key
+        cols["partition_key"] = pc.if_else(
+            pc.is_null(header_cols["vendor_id"]),
+            pa.nulls(n, pa.string()),
+            cols["partition_key"],
+        )
+    else:
+        cols["partition_key"] = header_cols["vendor_id"]
     cols["vendor_name"] = header_cols["vendor_name"]
     cols["invoice_number"] = header_cols["invoice_number"]
     cols["invnum_norm"] = pc.if_else(

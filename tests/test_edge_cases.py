@@ -131,6 +131,88 @@ def test_vendor_scope_threshold_overrides(ray_session, t1_tables, tmp_path):
     )
 
 
+def test_config_scope_fallback_chain():
+    """ST4 layered resolution (app/main.py:211-235 + implementation.md:344):
+    vendor:{id} scope beats global beats default; tolerant float coercion
+    like the reference's _get_cfg ({"value": x} wrappers, stringly numbers,
+    garbage → default)."""
+    from sievedata.config import ConfigStore
+
+    store = ConfigStore()
+    # default only
+    assert store.get_float("review_threshold", 50.0, "V1") == 50.0
+    # global layer
+    store.set("global", "review_threshold", 60.0)
+    assert store.get_float("review_threshold", 50.0, "V1") == 60.0
+    assert store.get_float("review_threshold", 50.0) == 60.0
+    # vendor layer beats global (only for that vendor)
+    store.set("vendor:V1", "review_threshold", 70.0)
+    assert store.get_float("review_threshold", 50.0, "V1") == 70.0
+    assert store.get_float("review_threshold", 50.0, "V2") == 60.0
+    # arbitrary keys, not just thresholds
+    store.set("global", "pair_scan_cap", {"value": "150"})
+    assert store.get_float("pair_scan_cap", 200.0, "V9") == 150.0
+    store.set("vendor:V9", "pair_scan_cap", "175")
+    assert store.get_float("pair_scan_cap", 200.0, "V9") == 175.0
+    # garbage value → caller default (reference's tolerant coercion)
+    store.set("global", "broken", {"oops": 1})
+    assert store.get_float("broken", 3.5, "V1") == 3.5
+    # vectorized per-partition resolution
+    import numpy as np
+
+    vals = store.resolve_floats(
+        "review_threshold", 50.0, np.array(["V1", "V2", "V1"], dtype=object))
+    assert vals.tolist() == [70.0, 60.0, 70.0]
+    # from_rows parity with the configs-table shape
+    s2 = ConfigStore.from_rows([
+        {"scope": "global", "key": "hold_threshold", "value": "81.5"},
+        {"scope": "vendor:V3", "key": "hold_threshold", "value": 90},
+    ])
+    assert s2.get_float("hold_threshold", 80.0, "V3") == 90.0
+    assert s2.get_float("hold_threshold", 80.0, "V4") == 81.5
+
+
+def test_global_scope_threshold_layer(ray_session, t1_tables, tmp_path):
+    """A global-scope threshold entry shifts EVERY vendor's decisions, and a
+    vendor-scope entry still wins over it — the full default→global→vendor
+    chain through score_documents."""
+    from sievedata.config import ConfigStore
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.score import ScoreConfig, score_documents
+
+    prof = build_profiles(
+        t1_tables["baseline"], t1_tables["media_catalog"], str(tmp_path / "prof")
+    )
+    base = score_documents(
+        t1_tables["documents"], prof["profiles"], prof["media_bloom"],
+        str(tmp_path / "base"), cfg=ScoreConfig(), resume=False,
+    )
+    dec_base = pq.read_table(base["decisions"]).to_pandas()
+    reviews = dec_base[dec_base["decision"] == "REVIEW"]
+    assert len(reviews) > 0
+    vendor = reviews["partition_key"].iloc[0]
+
+    # global layer: raise review threshold above every observed REVIEW score
+    # → those flip to PASS; vendor layer: keep ONE vendor at the default
+    store = (ConfigStore()
+             .set("global", "review_threshold", 99.0)
+             .set("global", "hold_threshold", 99.5)
+             .set(f"vendor:{vendor}", "review_threshold", 50.0)
+             .set(f"vendor:{vendor}", "hold_threshold", 80.0))
+    over = score_documents(
+        t1_tables["documents"], prof["profiles"], prof["media_bloom"],
+        str(tmp_path / "over"), cfg=ScoreConfig(config=store), resume=False,
+    )
+    dec_over = pq.read_table(over["decisions"]).to_pandas().set_index("doc_id")
+    for _, row in reviews.iterrows():
+        if row["partition_key"] == vendor:
+            # vendor scope pins the default thresholds → decision unchanged
+            assert dec_over.loc[row["doc_id"], "decision"] == "REVIEW"
+        elif row["risk_score"] < 99.0:
+            # global scope lifted the bar for everyone else
+            assert dec_over.loc[row["doc_id"], "decision"] == "PASS"
+
+
 def test_text_queries_on_adversarial_documents(ray_session, tmp_path):
     """NULL / empty / sub-n-gram / non-ASCII texts through the text-query
     catalogue, engine vs DuckDB oracle on the same synthetic table —

@@ -41,6 +41,60 @@ def test_cases_and_audit_sinks(t1_score):
     assert entries[-1]["action"] == "score" and entries[-1]["n_docs"] == len(dec)
 
 
+def test_case_upsert_semantics(t1_score, tmp_path):
+    """Re-scoring against an existing cases table UPDATES instead of
+    duplicating (app/case.py:16-50 ON CONFLICT DO UPDATE): case_ids stay
+    unique, analyst fields (disposition/notes) and created_run survive the
+    re-run, status re-opens and sla_due refreshes."""
+    import shutil
+
+    from sievedata.pipelines.score import score_documents
+
+    t = t1_score["tables"]
+    prof = t1_score["profiles"]
+    run_dir = str(tmp_path / "run")
+    res1 = score_documents(
+        t["documents"], prof["profiles"], prof["media_bloom"], run_dir,
+        cfg=t1_score["cfg"], resume=False,
+    )
+    c1 = pq.read_table(res1["cases"]).to_pandas().sort_values("case_id").reset_index(drop=True)
+    assert c1["case_id"].is_unique and len(c1) > 0
+
+    # analyst touches one case (disposition + notes), like the reference's
+    # cases table rows mutated by the review UI
+    touched = c1["case_id"].iloc[0]
+    mut = c1.copy()
+    mut.loc[mut["case_id"] == touched, ["disposition", "disposition_user", "notes"]] = (
+        "duplicate", "analyst7", "confirmed dup")
+    import pyarrow as pa
+
+    shutil.rmtree(res1["cases"])
+    import os
+
+    os.makedirs(res1["cases"])
+    pq.write_table(pa.Table.from_pandas(mut, preserve_index=False),
+                   os.path.join(res1["cases"], "part-0.parquet"))
+
+    res2 = score_documents(
+        t["documents"], prof["profiles"], prof["media_bloom"], run_dir,
+        cfg=t1_score["cfg"], resume=False,
+    )
+    c2 = pq.read_table(res2["cases"]).to_pandas().sort_values("case_id").reset_index(drop=True)
+    # no duplicates, same case set (same input → same decisions)
+    assert c2["case_id"].is_unique
+    assert list(c2["case_id"]) == list(c1["case_id"])
+    # analyst fields preserved, case re-opened
+    row = c2[c2["case_id"] == touched].iloc[0]
+    assert row["disposition"] == "duplicate"
+    assert row["disposition_user"] == "analyst7"
+    assert row["notes"] == "confirmed dup"
+    assert row["status"] == "OPEN"
+    # untouched cases byte-identical across the upsert
+    rest1 = c1[c1["case_id"] != touched].reset_index(drop=True)
+    rest2 = c2[c2["case_id"] != touched].reset_index(drop=True)
+    pd.testing.assert_frame_equal(rest1, rest2)
+
+
 def test_planted_twins_held(t1_score):
     dec = t1_score["decisions"]
     twins = dec[dec["doc_id"].str.endswith("~dup")]
