@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--bloom", required=True)
     ss.add_argument("--run-dir", required=True)
     ss.add_argument("--no-resume", action="store_true")
+    ss.add_argument("--config", default=None,
+                    help="JSON config rows [{scope, key, value}, ...] — "
+                         "layered resolution vendor:{id} → global → default")
 
     se = sub.add_parser("export")
     se.add_argument("--input", required=True, help="documents path")
@@ -96,11 +99,16 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
             )
         elif args.cmd == "score":
-            from sievedata.pipelines.score import score_documents
+            from sievedata.pipelines.score import ScoreConfig, score_documents
 
+            cfg = None
+            if args.config:
+                from sievedata.config import ConfigStore
+
+                cfg = ScoreConfig(config=ConfigStore.from_json(args.config))
             out = score_documents(
                 args.input, args.profiles, args.bloom, args.run_dir,
-                resume=not args.no_resume,
+                cfg=cfg, resume=not args.no_resume,
             )
         elif args.cmd == "dedup":
             from sievedata.pipelines.dedup import dedup_corpus
