@@ -739,6 +739,126 @@ def _neartext_dedup(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# ---- fused stage-2 pass (one read, one bucket shuffle, one write) ---------
+
+_S2_FIELDS: list[tuple[str, pa.DataType]] = [
+    ("partition_key", pa.string()), ("family", pa.string()),
+    ("block_key", pa.string()), ("doc_id", pa.string()),
+    ("total", pa.float64()), ("invoice_date", pa.date32()),
+    ("bucket", pa.int64()), ("reason_code", pa.string()),
+    ("detail", pa.string()), ("band_id", pa.int32()),
+    ("band_hash", pa.int64()), ("pdf_hash", pa.string()),
+    # VARIABLE binary: fixed_size_binary nulls allocate the full 128 B body
+    # per row, so block rows would pay 128 B of zeros each through the
+    # shuffle; variable-width nulls cost one offset
+    ("sig", pa.binary()),
+]
+
+
+def _pad_s2(t: pa.Table) -> pa.Table:
+    cols = {}
+    for name, typ in _S2_FIELDS:
+        if name in t.column_names:
+            col = t.column(name)
+            cols[name] = col if col.type == typ else col.cast(typ)
+        else:
+            cols[name] = pa.nulls(t.num_rows, typ)
+    return pa.table(cols)
+
+
+def _make_stage2_rows(cfg: "ValidateConfig", multis_ref):
+    """One batch → union of prefiltered block-family rows, per-doc violation
+    passthrough rows, and (if enabled) prefiltered neartext band rows — a
+    single superset schema so one shuffle serves every dup family."""
+    explode = _make_explode_blocks(cfg.n_dup_buckets, multis_ref)
+    band_rows = _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs = [_pad_s2(explode(batch))]
+        if cfg.neartext:
+            nt = band_rows(batch, multis_ref)
+            if nt.num_rows:
+                nt = nt.append_column(
+                    "family", pa.array(["neartext"] * nt.num_rows, pa.string()))
+                outs.append(_pad_s2(nt))
+        return pa.concat_tables(outs)
+
+    return fn
+
+
+_S2_OUT_COLS = ["partition_key", "doc_id", "reason_code", "detail",
+                "match_id", "jaccard", "kind", "doc_bucket"]
+_EMPTY_S2_OUT = pd.DataFrame({
+    **{c: pd.Series(dtype=str) for c in
+       ("partition_key", "doc_id", "reason_code", "detail", "match_id", "kind")},
+    "jaccard": pd.Series(dtype=float),
+    "doc_bucket": pd.Series(dtype="int64"),
+})[_S2_OUT_COLS]
+
+
+def _make_stage2_checker(cfg: "ValidateConfig"):
+    """Bucket dispatch: block families through the dup-rule checker (final
+    violation rows), band rows through the neartext checker (candidate
+    matches needing a doc-keyed min-dedup) — tagged into one schema with the
+    doc bucket for the next shuffle."""
+    bucket_checker = _make_bucket_checker(cfg)
+    nt_checker = _make_neartext_checker(cfg)
+    n_buckets = cfg.n_dup_buckets
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        from sievedata.sketches.hashing import hash64
+
+        if not len(df):
+            return _EMPTY_S2_OUT
+        is_nt = df["family"] == "neartext"
+        frames = []
+        blocks = df[~is_nt]
+        if len(blocks):
+            v = bucket_checker(blocks)
+            if len(v):
+                frames.append(v.assign(match_id=None, jaccard=np.nan, kind="viol"))
+        nt = df[is_nt]
+        if len(nt):
+            c = nt_checker(nt)
+            if len(c):
+                frames.append(c.assign(reason_code=None, detail=None, kind="nt"))
+        if not frames:
+            return _EMPTY_S2_OUT
+        out = pd.concat(frames, ignore_index=True)
+        out["doc_bucket"] = (
+            hash64(out["doc_id"].tolist(), seed=59) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out[_S2_OUT_COLS]
+
+    return check
+
+
+def _stage2_final(df: pd.DataFrame) -> pd.DataFrame:
+    """Doc-bucket stage: block violations pass through; neartext candidates
+    collapse to their per-doc lowest match (a pair collides in many bands)."""
+    if not len(df):
+        return _EMPTY_VIOLATIONS_DF
+    frames = []
+    viol = df[df["kind"] == "viol"]
+    if len(viol):
+        frames.append(viol[["partition_key", "doc_id", "reason_code", "detail"]])
+    nt = df[df["kind"] == "nt"]
+    if len(nt):
+        frames.append(_neartext_dedup(
+            nt[["partition_key", "doc_id", "match_id", "jaccard"]]))
+    if not frames:
+        return _EMPTY_VIOLATIONS_DF
+    return pd.concat(frames, ignore_index=True)
+
+
+def _pin_violation_schema(t: pa.Table) -> pa.Table:
+    """Empty pandas groups arrive with Arrow type null — pin to string."""
+    return pa.table({
+        c: t[c].cast(pa.string())
+        for c in ("partition_key", "doc_id", "reason_code", "detail")
+    })
+
+
 def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> pa.Table:
     """Mergeable per-partition aggregates for drift + uniqueness + counts."""
     pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
@@ -929,7 +1049,11 @@ def validate_documents(
             # ceil(rows/min_rows) tasks (measured: 3 tasks on 32 cores —
             # this, not bandwidth, capped round-1 validate scaling).  File
             # granularity at scale comes from upstream block sizing.
-            checked.write_parquet(tmp)
+            # lz4 for the INTERNAL intermediate: ~same size as snappy at
+            # ~2× the encode speed (the 128 B/doc signature column is
+            # incompressible; the stage is write-bound at high core counts)
+            checked.write_parquet(
+                tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
     _mark("stage1_checked")
 
     # Stages 2 and 3 both read the narrow intermediate (column-pruned).
@@ -967,62 +1091,28 @@ def validate_documents(
             # above the guard the collided fraction is large and the
             # filter wouldn't shrink the shuffle — run unfiltered
 
-        blocks = (
-            read_documents(
-                checked_dir,
-                columns=[
-                    "doc_id", "partition_key", "invnum_norm", "pdf_hash",
-                    "po_number", "total", "invoice_date", "missing_fields",
-                    "is_credit", "bank_change", "amount_z", "is_outlier",
-                ],
-            )
+        if not any_multi:
+            multis_ref = ray.put(np.empty(0, np.uint64))
+
+        # fused pass B: ONE read of the checked intermediate emits filtered
+        # block rows AND filtered band rows into a single union schema, one
+        # bucket shuffle runs both checkers (dispatch by family), then one
+        # doc-keyed shuffle both dedups the neartext matches and carries the
+        # final block violations through (the score plan's passthrough
+        # pattern) — one read / two shuffles / one write where round 2 had
+        # three reads, three shuffles and two sequential writes
+        violations = (
+            read_documents(checked_dir, columns=CHECKED_COLUMNS)
             .map_batches(
-                _make_explode_blocks(
-                    cfg.n_dup_buckets,
-                    multis_ref if any_multi else ray.put(np.empty(0, np.uint64)),
-                ) if (multis_ref is not None or not any_multi)
-                else _make_explode_blocks(cfg.n_dup_buckets),
-                batch_format="pyarrow",
-            )
+                _make_stage2_rows(cfg, multis_ref), batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(_make_bucket_checker(cfg), batch_format="pandas")
-        )
-        blocks = blocks.select_columns(
-            ["partition_key", "doc_id", "reason_code", "detail"]
+            .map_groups(_make_stage2_checker(cfg), batch_format="pandas")
+            .groupby("doc_bucket")
+            .map_groups(_stage2_final, batch_format="pandas")
+            .map_batches(_pin_violation_schema, batch_format="pyarrow")
         )
         with commit_dir(violations_dir) as tmp:
-            # the two branches execute SEQUENTIALLY (two writes into the
-            # same committed dir): concurrent branches of a union contend
-            # for the same CPU pool and thrash (~2× slower, measured)
-            blocks.write_parquet(tmp)
-            if cfg.neartext and any_multi:
-                from sievedata.sketches.hashing import hash64 as _h64
-
-                def _doc_bucket(t: pa.Table) -> pa.Table:
-                    b = (_h64(t["doc_id"].combine_chunks(), seed=59)
-                         % np.uint64(cfg.n_dup_buckets)).astype(np.int64)
-                    return t.append_column("doc_bucket", pa.array(b))
-
-                rows_fn = _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands)
-                nt_fn = (
-                    (lambda t, _r=multis_ref: rows_fn(t, _r))
-                    if multis_ref is not None else rows_fn
-                )
-                neartext = (
-                    read_documents(
-                        checked_dir,
-                        columns=["doc_id", "partition_key", "pdf_hash",
-                                 "eligible", "neartext_sig"],
-                    )
-                    .map_batches(nt_fn, batch_format="pyarrow")
-                    .groupby("bucket")
-                    .map_groups(_make_neartext_checker(cfg), batch_format="pandas")
-                    .map_batches(_doc_bucket, batch_format="pyarrow")
-                    .groupby("doc_bucket")
-                    .map_groups(_neartext_dedup, batch_format="pandas")
-                    .select_columns(["partition_key", "doc_id", "reason_code", "detail"])
-                )
-                neartext.write_parquet(tmp)
+            violations.write_parquet(tmp)
 
     def _stage3_verdicts() -> pd.DataFrame:
         return (
