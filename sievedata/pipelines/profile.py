@@ -145,10 +145,15 @@ def build_profiles(
     """Run the single-pass profile pass; write profiles.parquet + media Bloom."""
     os.makedirs(out_dir, exist_ok=True)
 
-    # single pass: mergeable sketches per partition
+    # single pass: mergeable sketches per partition.  parse + partials fused
+    # in ONE UDF — a second map_batches boundary re-batches the wide parse
+    # output (spans/text attached), which measured 2-3× the stage CPU in the
+    # identical validate stage-1 shape; only the partition-sized partial rows
+    # may cross a block boundary.
     ds = read_documents(baseline_path)
-    parsed = ds.map_batches(parse_documents_batch, batch_format="pyarrow")
-    partials = parsed.map_batches(_sketch_partials, batch_format="pyarrow")
+    partials = ds.map_batches(
+        lambda b: _sketch_partials(parse_documents_batch(b)),
+        batch_format="pyarrow")
     merged = partials.groupby("partition_key").map_groups(
         _merge_sketch_group, batch_format="pandas"
     )
@@ -212,8 +217,9 @@ def update_profiles(
     old = pq.read_table(profiles_path).to_pandas().set_index("partition_key")
 
     ds = read_documents(new_baseline_path)
-    parsed = ds.map_batches(parse_documents_batch, batch_format="pyarrow")
-    partials = parsed.map_batches(_sketch_partials, batch_format="pyarrow")
+    partials = ds.map_batches(  # fused: see build_profiles
+        lambda b: _sketch_partials(parse_documents_batch(b)),
+        batch_format="pyarrow")
     new_df = (
         partials.groupby("partition_key")
         .map_groups(_merge_sketch_group, batch_format="pandas")

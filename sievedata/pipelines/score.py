@@ -853,10 +853,12 @@ def score_documents(
     # and parsed the wide input twice and shuffled doc-keyed rows twice)
     decisions = (
         read_documents(documents_path)
-        .map_batches(score_parse_batch, batch_format="pyarrow")
         .map_batches(
+            # parse + explode fused in ONE UDF: re-batching the wide parsed
+            # blocks across a second map_batches boundary measured 2-3× the
+            # stage CPU in the identical validate stage-1 shape
             lambda b: _explode_candidates(
-                b, cfg.n_buckets, neartext=cfg.neartext,
+                score_parse_batch(b), cfg.n_buckets, neartext=cfg.neartext,
                 neartext_bands=cfg.neartext_bands, emit_base=True,
             ),
             batch_format="pyarrow",

@@ -101,8 +101,9 @@ def build_pair_dataset(
 
     pairs = (
         read_documents(documents_path)
-        .map_batches(score_parse_batch, batch_format="pyarrow")
-        .map_batches(lambda b: _explode_candidates(b, n_buckets), batch_format="pyarrow")
+        .map_batches(  # parse + explode fused (block-boundary copy cost)
+            lambda b: _explode_candidates(score_parse_batch(b), n_buckets),
+            batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(score_and_cap, batch_format="pandas")
         .to_pandas()  # bounded: ≤ n_buckets × (pos_cap + neg_cap) rows

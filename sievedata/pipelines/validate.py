@@ -1039,10 +1039,18 @@ def validate_documents(
         profiles_ref = ray.put(profile_stats)
         bloom_ref = ray.put(bloom_bytes)
         ds = read_documents(documents_path)
-        checked = ds.map_batches(parse_documents_batch, batch_format="pyarrow").map_batches(
-            _make_per_doc_checks_fn(profiles_ref, bloom_ref, cfg.z_threshold),
-            batch_format="pyarrow",
-        )
+        checks_fn = _make_per_doc_checks_fn(profiles_ref, bloom_ref, cfg.z_threshold)
+
+        def _parse_and_check(batch: pa.Table) -> pa.Table:
+            # parse + checks fused in ONE UDF: a second map_batches boundary
+            # re-batches the WIDE parse output (spans/text still attached),
+            # and that slice/concat of nested list<struct> blocks measured
+            # 2-3× the whole stage's CPU (914-1424 vs 443 core-s at 32
+            # procs) — the narrow checked table must be the first thing that
+            # crosses a block boundary.
+            return checks_fn(parse_documents_batch(batch))
+
+        checked = ds.map_batches(_parse_and_check, batch_format="pyarrow")
         with commit_dir(checked_dir) as tmp:
             # NO min_rows_per_file here: write-side file coalescing fuses
             # with the map stages and collapses the WHOLE stage to
