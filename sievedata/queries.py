@@ -4077,6 +4077,104 @@ LIMIT 100
 """
 
 
+def _repetition_block_stats(t: pa.Table, max_dup_pct: int,
+                            guard: int = 2**62) -> pa.Table:
+    """Per-batch kernel for :func:`q_repetition_filter` (module-level so
+    the overflow-fallback path is unit-testable with ``guard=0``)."""
+    t = t.filter(pc.is_valid(t["text"]))
+    txt = t["text"].combine_chunks()
+    split = pc.split_pattern(txt, " ")
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_grams = np.maximum(lens - 1, 0)
+    n_distinct = np.zeros(len(t), dtype=np.int64)
+    if int(n_grams.sum()) > 0:
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.list_flatten(split).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary))
+        # gram j = (codes[j], codes[j+1]) where both positions sit in the
+        # same doc
+        same = parents[:-1] == parents[1:]
+        gp = parents[:-1][same]
+        c1, c2 = codes[:-1][same], codes[1:][same]
+        n_docs = np.int64(len(t))
+        if V > 0 and n_docs * V * V < np.int64(guard):
+            key = (gp * V + c1) * V + c2
+            uniq = np.unique(key)
+            n_distinct = np.bincount(
+                (uniq // (V * V)).astype(np.int64), minlength=len(t)
+            ).astype(np.int64)
+        elif V > 0:  # vocab² would overflow int64 — lexsort boundary count
+            order = np.lexsort((c2, c1, gp))
+            g, a, b = gp[order], c1[order], c2[order]
+            new = np.ones(len(g), dtype=bool)
+            new[1:] = (g[1:] != g[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            n_distinct = np.bincount(g[new], minlength=len(t)).astype(np.int64)
+    n_dup = n_grams - n_distinct
+    keep = (n_dup * 100 <= max_dup_pct * n_grams).astype(np.int64)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_grams": pa.array(n_grams),
+        "n_distinct": pa.array(n_distinct),
+        "n_dup": pa.array(n_dup),
+        "keep": pa.array(keep),
+    })
+
+
+def q_repetition_filter(sf_dir: str, max_dup_pct: int = 5):
+    """Gopher-style within-document repetition filter: per doc, the count
+    of word-2-grams, distinct word-2-grams, duplicated 2-grams, and an
+    integer keep verdict (duplicate fraction ≤ ``max_dup_pct``%) — the
+    standard "drop template/spam pages that repeat themselves" quality
+    gate a pre-training cleaning pipeline runs after per-token stats.
+
+    Semantics pinned for the oracle: tokens are the RAW space split
+    (empties kept — adjacency must match SQL's string_split), a 2-gram is
+    every consecutive token pair, the verdict is pure integer arithmetic
+    (``n_dup * 100 <= max_dup_pct * n_grams``; 0-gram docs keep).
+
+    Scale shape: embarrassingly parallel — one map_batches pass, one
+    doc-sized output row per input row, nothing shuffled.  Per batch the
+    kernel is fully vectorized: dictionary-encode the flattened token
+    stream once, pack each (doc, gram) into one int64 key (guarded
+    against vocab² overflow with a lexsort fallback) and count distincts
+    with a single np.unique."""
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: _repetition_block_stats(t, max_dup_pct),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_REPETITION_FILTER = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+e AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM t)
+),
+s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+  FROM e GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.n_distinct, 0) AS n_distinct,
+       COALESCE(s.n_grams - s.n_distinct, 0) AS n_dup,
+       CAST(CASE WHEN COALESCE(s.n_grams - s.n_distinct, 0) * 100
+                      <= 5 * COALESCE(s.n_grams, 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+"""
+
+
 def q_kmeans_clusters(sf_dir: str, k: int = 8, sample_cap: int = 20_000):
     """K-means document clustering over the embedding column: fit k
     centroids on a bounded sample (driver-side Lloyd, deterministic seed —
@@ -4500,6 +4598,7 @@ _ORACLE = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "token_shards": SQL_TOKEN_SHARDS,
     "term_doc_freq": SQL_TERM_DOC_FREQ,
+    "repetition_filter": SQL_REPETITION_FILTER,
     "union_ids": SQL_UNION_IDS,
     "approx_quantiles": SQL_APPROX_QUANTILES,
     "decontaminate": SQL_DECONTAMINATE,
@@ -4566,6 +4665,7 @@ _QUERIES = {
     "stratified_sample": q_stratified_sample,
     "token_shards": q_token_shards,
     "term_doc_freq": q_term_doc_freq,
+    "repetition_filter": q_repetition_filter,
     "union_ids": q_union_ids,
     "approx_quantiles": q_approx_quantiles,
     "decontaminate": q_decontaminate,

@@ -72,3 +72,31 @@ def test_rows_only_queries_run(ray_session):
     for name in rows_only:
         df = _to_pandas(queries()[name](SF_DIR))
         assert df is not None and len(df.columns) > 0, name
+
+
+def test_repetition_filter_fallback_path_matches_fast_path():
+    """guard=0 forces the lexsort boundary-count branch (the int64-overflow
+    fallback for huge per-batch vocabularies); it must agree bit-for-bit
+    with the packed-key np.unique fast path, including the keep verdict,
+    NULL-text drop, and empty/1-token docs (0 grams → keep)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sievedata.queries import _repetition_block_stats
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    edge = pa.table({
+        "doc_id": pa.array([10_001, 10_002, 10_003, 10_004], type=pa.int64()),
+        "text": pa.array(["", "one", "a a a a a", None]),
+    })
+    t = pa.concat_tables([t, edge])
+    fast = _repetition_block_stats(t, 5)
+    slow = _repetition_block_stats(t, 5, guard=0)
+    assert fast.equals(slow)
+    d = {r["doc_id"]: r for r in fast.to_pylist()}
+    assert d[10_001]["n_grams"] == 0 and d[10_001]["keep"] == 1
+    assert d[10_002]["n_grams"] == 0 and d[10_002]["keep"] == 1
+    assert d[10_003] == {"doc_id": 10_003, "n_grams": 4, "n_distinct": 1,
+                         "n_dup": 3, "keep": 0}
+    assert 10_004 not in d
