@@ -170,9 +170,9 @@ def oracle_validate(
         ]
         pk_of = {d["doc_id"]: d["pk"] for d in elig_docs}
         pdf_of = {d["doc_id"]: d["pdf_hash"] for d in elig_docs}
-        # 16-bit-truncated slots (b-bit minwise hashing) for BOTH banding and
+        # 8-bit-truncated slots (b-bit minwise hashing) for BOTH banding and
         # verification — identical to the engine's stored neartext_sig
-        sigs = minhash_signature_batch(texts) & np.uint64(0xFFFF)
+        sigs = minhash_signature_batch(texts) & np.uint64(0xFF)
         sig_of = {d["doc_id"]: sigs[i] for i, d in enumerate(elig_docs)}
         band_tbl = lsh_band_rows(
             [d["doc_id"] for d in elig_docs], sigs, bands=cfg.neartext_bands

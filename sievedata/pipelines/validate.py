@@ -131,7 +131,7 @@ class ValidateConfig:
     neartext_jaccard: float = 0.9
     # two-pass band-group prefilter: pass A shuffles ONLY the 8-byte band
     # group hashes to find multi-doc groups (~2-10% of rows on real
-    # corpora), pass B ships the 128 B signatures only for those rows —
+    # corpora), pass B ships the 64 B signatures only for those rows —
     # cuts the dominant stage-2 shuffle ~5-10× with provably identical
     # output (the checker drops singleton groups anyway)
     neartext_prefilter: bool = True
@@ -215,16 +215,21 @@ class PerDocChecks:
         out = out.append_column("is_outlier", pa.array(is_outlier))
         out = out.append_column("eligible", pa.array(eligible))
         # MinHash signature over the normalized line text, truncated to
-        # 16-bit slots (b-bit minwise hashing — 128 B/doc instead of 512),
-        # the near-text index column: computed ONCE here so stage 2's
-        # near-text pass reads only the narrow intermediate (no second
-        # parse of the wide spans input).  Banding AND verification both
-        # operate on the truncated slots (oracle identically).
+        # 8-bit slots (b-bit minwise hashing, Li & König 2010 — 64 B/doc
+        # instead of 512), the near-text index column: computed ONCE here so
+        # stage 2's near-text pass reads only the narrow intermediate (no
+        # second parse of the wide spans input).  Banding AND verification
+        # both operate on the truncated slots (oracle identically).  At 64
+        # slots the unrelated-pair agreement floor is ~1/256 per slot vs the
+        # 0.9 verify threshold, and the Jaccard estimator bias is
+        # (1−J)/256 ≤ 0.004 — the signature was 76% of the checked
+        # intermediate's bytes (incompressible), so b=8 halves stage-1
+        # write volume and the stage-2 band-row shuffle.
         from sievedata.functions.dedup import minhash_signature_batch
 
         sigs = minhash_signature_batch(_batch_line_texts(batch))
-        sig16 = (sigs & np.uint64(0xFFFF)).astype(np.uint16)
-        out = out.append_column("neartext_sig", _mat_to_fixed_bin(sig16))
+        sig8 = (sigs & np.uint64(0xFF)).astype(np.uint8)
+        out = out.append_column("neartext_sig", _mat_to_fixed_bin(sig8))
         return out
 
 
@@ -527,8 +532,8 @@ def _make_neartext_rows(n_buckets: int, bands: int):
     Verification downstream is MinHash-signature slot agreement — RR-003's
     own formulation ("MinHash signatures shall approximate shingle
     Jaccard", architecture.md:188): identical texts still give exactly 1.0.
-    The stored signature is already TRUNCATED to 16-bit slots (b-bit
-    minwise hashing, Li & König 2010): 128 B instead of 512 B per doc in
+    The stored signature is already TRUNCATED to 8-bit slots (b-bit
+    minwise hashing, Li & König 2010): 64 B instead of 512 B per doc in
     the intermediate AND per band row — 4× less read + shuffle volume for
     a per-slot false-agreement rate of 2⁻¹⁶.  Banding mixes the truncated
     slots, and the pure-python oracle bands + verifies identically; the
@@ -548,7 +553,7 @@ def _make_neartext_rows(n_buckets: int, bands: int):
                  "band_hash": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.string()),
                  "pdf_hash": pa.array([], pa.string()),
-                 "sig": pa.array([], pa.binary(128)),
+                 "sig": pa.array([], pa.binary(64)),
                  "bucket": pa.array([], pa.int64())}
             )
 
@@ -590,10 +595,10 @@ def _band_mixes(sig_col: pa.Array, pk_col: pa.Array, bands: int):
     from sievedata.functions.dedup import lsh_band_arrays
     from sievedata.sketches.hashing import hash64
 
-    sig16 = _fixed_bin_to_mat(sig_col, np.uint16, 64)
+    sig8 = _fixed_bin_to_mat(sig_col, np.uint8, 64)
     # band on the truncated slots (u64 view so the FNV mix matches the
     # oracle's lsh_band_rows over the same truncated values)
-    band_ids, band_hashes = lsh_band_arrays(sig16.astype(np.uint64), bands=bands)
+    band_ids, band_hashes = lsh_band_arrays(sig8.astype(np.uint64), bands=bands)
     pk_h = np.tile(hash64(pk_col, seed=43), bands)
     with np.errstate(over="ignore"):
         mix = (band_hashes * np.uint64(31) + band_ids.astype(np.uint64)) ^ pk_h
@@ -676,7 +681,7 @@ def _make_neartext_checker(cfg: ValidateConfig):
         ids = df["doc_id"].to_numpy()
         pks = df["partition_key"].to_numpy()
         pdfs = df["pdf_hash"].to_numpy()
-        sig = np.frombuffer(b"".join(df["sig"]), dtype=np.uint16).reshape(len(df), -1)
+        sig = np.frombuffer(b"".join(df["sig"]), dtype=np.uint8).reshape(len(df), -1)
         boundaries = np.flatnonzero(np.diff(codes)) + 1
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [len(df)]])
