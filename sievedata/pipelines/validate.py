@@ -753,8 +753,8 @@ _S2_FIELDS: list[tuple[str, pa.DataType]] = [
     ("bucket", pa.int64()), ("reason_code", pa.string()),
     ("detail", pa.string()), ("band_id", pa.int32()),
     ("band_hash", pa.int64()), ("pdf_hash", pa.string()),
-    # VARIABLE binary: fixed_size_binary nulls allocate the full 128 B body
-    # per row, so block rows would pay 128 B of zeros each through the
+    # VARIABLE binary: fixed_size_binary nulls allocate the full 64 B body
+    # per row, so block rows would pay 64 B of zeros each through the
     # shuffle; variable-width nulls cost one offset
     ("sig", pa.binary()),
 ]
@@ -1063,7 +1063,7 @@ def validate_documents(
             # this, not bandwidth, capped round-1 validate scaling).  File
             # granularity at scale comes from upstream block sizing.
             # lz4 for the INTERNAL intermediate: ~same size as snappy at
-            # ~2× the encode speed (the 128 B/doc signature column is
+            # ~2× the encode speed (the 64 B/doc signature column is
             # incompressible; the stage is write-bound at high core counts)
             checked.write_parquet(
                 tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
