@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "token_shards",
     "term_doc_freq",
+    "repetition_filter",
     "kmeans_clusters",
     "decontaminate",
     "dedup_corpus",
