@@ -3146,8 +3146,15 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
     against the label table, union, per-node min.  Convergence is detected
     by the label-sum fixpoint (min-labels decrease monotonically, so an
     unchanged integer sum ⇔ no label changed — one cheap aggregate instead
-    of a diff join per round).  Rounds = graph diameter; near-dup clusters
-    are shallow.  The loop iterates ONLY over edge-touched nodes (labels
+    of a diff join per round).  Near-dup clusters are shallow, so the first
+    rounds are plain neighbor-min (one join each); from round 3 a
+    pointer-doubling self-join (label ← label[label]) is unioned in, making
+    total rounds O(log diameter) for pathological chained corpora
+    (templated docs with incremental drift) instead of O(diameter).
+    Correctness: label values are always within-component doc_ids ≥ the
+    component min and monotonically decreasing, so adding the label-of-label
+    candidate preserves the fixpoint (= per-component min) and the sum-based
+    convergence test.  The loop iterates ONLY over edge-touched nodes (labels
     of untouched docs cannot change — they union back in identity form at
     the end), so each round shuffles the near-dup SUBGRAPH, not the whole
     corpus.  Label tables stay Datasets end-to-end — no driver union-find."""
@@ -3197,7 +3204,7 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
     )
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = (
             edges.join(
                 sub, join_type="inner", num_partitions=8,
@@ -3206,9 +3213,30 @@ def q_dedup_components(sf_dir: str, max_iters: int = 50):
             .select_columns(["dst", "component"])
             .rename_columns({"dst": "doc_id"})
         )
+        cand = sub.union(nbr)
+        if it >= 2:
+            # pointer doubling: every label value is itself an edge-touched
+            # doc_id present in `sub`, so label[label[v]] resolves via an
+            # inner self-join; union it as one more min-candidate
+            hop = (
+                sub.join(
+                    sub.map_batches(
+                        lambda t: pa.table(
+                            {"cdoc": t["doc_id"], "parent": t["component"]}),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner", num_partitions=8,
+                    on=("component",), right_on=("cdoc",),
+                )
+                .map_batches(
+                    lambda t: pa.table(
+                        {"doc_id": t["doc_id"], "component": t["parent"]}),
+                    batch_format="pyarrow",
+                )
+            )
+            cand = cand.union(hop)
         sub = (
-            sub.union(nbr)
-            .groupby("doc_id")
+            cand.groupby("doc_id")
             .aggregate(Min("component", alias_name="component"))
             .materialize()
         )
@@ -4534,6 +4562,247 @@ FROM documents WHERE text IS NULL
 """
 
 
+def q_pii_scan(sf_dir: str, patterns: dict | None = None):
+    """Vectorized regex PII scan + redaction over the document corpus —
+    the distributed generalization of the reference's PII-stripped export
+    (S10, `app/main.py` mask/hash fields): count matches of each sensitive
+    pattern per doc and emit the redacted text for docs with any hit.
+
+    Patterns are RE2 on BOTH sides (Arrow's ``count_substring_regex`` /
+    ``replace_substring_regex`` and DuckDB's regexp functions are all
+    RE2-backed), so non-overlap/leftmost-match semantics agree exactly.
+    The default patterns are email/long-digit shapes plus a word-class
+    probe that actually fires on the synthetic corpus (it contains no
+    digits); the operator takes arbitrary patterns.
+
+    Scale shape: pure map_batches — no shuffle, no state; the only
+    non-streaming step is the final sort of the (hit-only) output."""
+    pats = patterns or {
+        "n_email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "n_digits": r"[0-9]{6,}",
+        "n_entity": r"\b(customer|vendor|account)\b",
+    }
+    redact = "|".join(f"(?:{p})" for p in pats.values())
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        txt = t["text"].combine_chunks()
+        cols = {"doc_id": t["doc_id"]}
+        total = np.zeros(len(t), dtype=np.int64)
+        for name, pat in pats.items():
+            c = pc.count_substring_regex(txt, pat).to_numpy(zero_copy_only=False)
+            c = c.astype(np.int64)
+            cols[name] = pa.array(c)
+            total += c
+        cols["redacted"] = pc.replace_substring_regex(txt, redact, "[REDACTED]")
+        out = pa.table(cols)
+        return out.filter(pa.array(total > 0))
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+SQL_PII_SCAN = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digits,
+       CAST(len(regexp_extract_all(text, '\b(customer|vendor|account)\b')) AS BIGINT) AS n_entity,
+       regexp_replace(text,
+         '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:[0-9]{6,})|(?:\b(?:customer|vendor|account)\b)',
+         '[REDACTED]', 'g') AS redacted
+FROM documents
+WHERE text IS NOT NULL AND n_email + n_digits + n_entity > 0
+ORDER BY doc_id
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top term by TF-IDF (whitespace tokens, idf =
+    ln(N/df)) — the ranking layer over :func:`q_term_doc_freq`'s idf
+    table; every keyword-extraction / relevance pipeline's first step.
+
+    Two passes: (1) the term_doc_freq kernel aggregates the global
+    (term → df) table (vocab-sized partials per block, one narrow
+    groupby); (2) a stateless map_batches re-tokenizes each doc, computes
+    per-(doc, term) tf via one np.unique over dictionary codes, scores
+    tf·ln(N/df) and takes the per-doc argmax with an exact (score DESC,
+    term ASC) tie-break.  The df table is broadcast via ray.put under the
+    BROADCAST_MAX_ROWS guard; a vocab larger than the guard raises (at
+    that point the right design is a term-bucketed join, as
+    q_decontaminate's fallback does for grams).
+
+    Output columns are integers + the term string — the float score is
+    only an internal ORDER BY, computed as the identical double expression
+    (CAST BIGINT tf × ln on doubles) on both engines."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        split = pc.split_pattern(txt, " ")
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parents = flat.filter(pa.array(keep)), parents[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.unique((parents.astype(np.int64) << np.int64(32)) | codes)
+        df_ = np.bincount(pair & np.int64(0xFFFFFFFF), minlength=len(enc.dictionary))
+        n_docs = pc.sum(pc.is_valid(t["text"]).cast(pa.int64())).as_py() or 0
+        out = pa.table({
+            "term": enc.dictionary,
+            "df": pa.array(df_.astype(np.int64)),
+            "n_docs": pa.array(np.full(len(enc.dictionary), 0, dtype=np.int64)),
+        })
+        # ride the doc count along as one sentinel row ('' never survives
+        # the keep filter above, so it cannot collide with a real term)
+        sentinel = pa.table({
+            "term": pa.array([""], pa.string()),
+            "df": pa.array([0], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+        })
+        return pa.concat_tables([out, sentinel])
+
+    df_tbl = (
+        _rp(sf_dir, "documents", ["text"])
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
+        .materialize()  # vocab-sized; consumed twice (count + pull)
+    )
+    if df_tbl.count() > BROADCAST_MAX_ROWS:
+        raise NotImplementedError(
+            "vocab exceeds broadcast guard — use a term-bucketed join "
+            "(q_decontaminate fallback shape)"
+        )
+    dfp = df_tbl.to_pandas()
+    n_total = int(dfp.loc[dfp["term"] == "", "n_docs"].sum())
+    dfp = dfp[dfp["term"] != ""]
+    df_ref = ray.put((
+        np.asarray(dfp["term"], dtype=object),
+        dfp["df"].to_numpy(np.int64),
+        n_total,
+    ))
+
+    def top_term(t: pa.Table) -> pa.Table:
+        terms_g, df_g, n_docs = ray.get(df_ref)
+        order = np.argsort(terms_g, kind="mergesort")
+        terms_sorted, df_sorted = terms_g[order], df_g[order]
+        t = t.filter(pc.is_valid(t["text"]))
+        txt = t["text"].combine_chunks()
+        split = pc.split_pattern(txt, " ")
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parents = flat.filter(pa.array(keep)), parents[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        local_terms = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        pair, tf = np.unique(
+            (parents.astype(np.int64) << np.int64(32)) | codes, return_counts=True
+        )
+        rows = (pair >> np.int64(32)).astype(np.int64)
+        tcode = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        pos = np.searchsorted(terms_sorted, local_terms[tcode])
+        dfv = df_sorted[pos]
+        score = tf.astype(np.float64) * np.log(np.float64(n_docs) / dfv)
+        # per-doc argmax with (score DESC, term ASC) tie-break: lexsort is
+        # stable, last key dominates
+        ord_ = np.lexsort((local_terms[tcode], -score, rows))
+        first = np.unique(rows[ord_], return_index=True)[1]
+        pick = ord_[first]
+        docs = t["doc_id"].take(pa.array(rows[pick]))
+        return pa.table({
+            "doc_id": docs,
+            "top_term": pa.array(local_terms[tcode[pick]].tolist(), pa.string()),
+            "tf": pa.array(tf[pick].astype(np.int64)),
+            "df": pa.array(dfv[pick]),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(top_term, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok2),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                    tf.term
+         ) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM scored WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def q_multi_distinct(sf_dir: str):
+    """COUNT(DISTINCT a, b) per group — multi-column distinct cardinality
+    (distinct (part, supplier) combinations per returnflag), the exact
+    companion to A5's single-column uniqueness checks.
+
+    Scale shape: per-block distinct (flag, part<<32|supp) partials via one
+    np.unique (the term_doc_freq idiom) collapse each block to its local
+    distinct pairs before any shuffle; one groupby on the composite key
+    dedups globally; the final per-flag count aggregates a 3-row table."""
+    from ray.data.aggregate import Count
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].combine_chunks().dictionary_encode()
+        fcodes = flag.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        part = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = np.int64(len(flag.dictionary))
+        key = (part << np.int64(32) | supp) * nf + fcodes
+        uniq = np.unique(key)
+        return pa.table({
+            "l_returnflag": flag.dictionary.take(pa.array(uniq % nf)),
+            "pair_key": pa.array(uniq // nf),
+        })
+
+    return (
+        _rp(sf_dir, "lineitem", ["l_returnflag", "l_partkey", "l_suppkey"])
+        .map_batches(block_distinct, batch_format="pyarrow")
+        .groupby(["l_returnflag", "pair_key"])
+        .count()
+        .groupby("l_returnflag")
+        .count()
+        .map_batches(
+            lambda t: pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "n_pairs": t["count()"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("l_returnflag")
+    )
+
+
+SQL_MULTI_DISTINCT = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4603,6 +4872,9 @@ _ORACLE = {
     "approx_quantiles": SQL_APPROX_QUANTILES,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_corpus": SQL_DEDUP_CORPUS,
+    "pii_scan": SQL_PII_SCAN,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "multi_distinct": SQL_MULTI_DISTINCT,
 }
 
 _QUERIES = {
@@ -4670,6 +4942,9 @@ _QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "decontaminate": q_decontaminate,
     "dedup_corpus": q_dedup_corpus,
+    "pii_scan": q_pii_scan,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "multi_distinct": q_multi_distinct,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,

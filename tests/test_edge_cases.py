@@ -317,3 +317,81 @@ def test_dedup_cli_resumable(ray_session, tmp_path):
     assert df1[df1.doc_id == 1]["group_size"].iloc[0] == 3
     r2 = dedup_corpus(sf, out_dir)
     assert r2["resumed"] is True and r2["n_survivors"] == 8
+
+
+def test_dedup_components_deep_chain_pointer_doubling(ray_session, tmp_path):
+    """A diameter-9 near-dup chain (rolling token windows: adjacent docs
+    share ≥0.8 5-gram Jaccard, distance ≥2 fall below) converges within a
+    round budget PLAIN neighbor-min propagation cannot meet — proving the
+    pointer-doubling self-join shortcut (rounds O(log diameter)) — and the
+    labels match an in-test exact-Jaccard union-find oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sievedata import queries as Q
+
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    toks = ["".join(rng.choice(alpha, size=7)) for _ in range(80)]
+    assert len(set(toks)) == len(toks)
+    W, S, n_chain = 36, 3, 10
+    texts = [" ".join(toks[i * S: i * S + W]) for i in range(n_chain)]
+    texts += ["completely different text one", "another unrelated blob here"]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{sf}/documents.parquet")
+
+    # exact in-test oracle: 5-gram Jaccard edges (same windows as the SQL
+    # oracle: substr positions 1..max(len-4, 1)) + union-find min labels
+    def grams(t):
+        return {t[i: i + 5] for i in range(max(len(t) - 4, 1))}
+
+    gs = [grams(t) for t in texts]
+    n = len(texts)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            inter = len(gs[i] & gs[j])
+            if 5 * inter >= 4 * len(gs[i] | gs[j]):
+                edges.append((i, j))
+                parent[find(j)] = find(i)
+    # the fixture must actually be a deep chain, or the test proves nothing
+    adj = {i: set() for i in range(n)}
+    for i, j in edges:
+        adj[i].add(j), adj[j].add(i)
+
+    def bfs_depth(src):
+        seen, frontier, d = {src}, {src}, 0
+        while frontier:
+            frontier = {y for x in frontier for y in adj[x]} - seen
+            seen |= frontier
+            d += 1 if frontier else 0
+        return d
+
+    assert max(bfs_depth(i) for i in range(n_chain)) >= 8
+
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i + 1)
+    want = sorted(
+        (doc, min(members)) for members in comp.values() for doc in members
+    )
+
+    # budget 7 rounds: plain propagation needs diameter(9)+1 and raises;
+    # with pointer doubling reach doubles per round past round 3
+    got = (Q.q_dedup_components(sf, max_iters=7).to_pandas()
+           .sort_values("doc_id"))
+    assert list(map(tuple, got[["doc_id", "component"]].values)) == want
