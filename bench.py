@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "token_shards",
     "term_doc_freq",
     "repetition_filter",
+    "pii_scan",
+    "tfidf_top_terms",
     "kmeans_clusters",
     "decontaminate",
     "dedup_corpus",

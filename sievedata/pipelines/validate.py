@@ -1103,6 +1103,7 @@ def validate_documents(
                 multis_ref = ray.put(multis)
             # above the guard the collided fraction is large and the
             # filter wouldn't shrink the shuffle — run unfiltered
+            _mark("stage2a_prefilter")
 
         if not any_multi:
             multis_ref = ray.put(np.empty(0, np.uint64))
