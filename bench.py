@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "repetition_filter",
     "pii_scan",
     "tfidf_top_terms",
+    "chunk_dedup",
+    "token_rarity",
     "kmeans_clusters",
     "decontaminate",
     "dedup_corpus",

@@ -4803,6 +4803,294 @@ ORDER BY l_returnflag
 """
 
 
+def _doc_token_chunks(t: pa.Table, width: int):
+    """Shared kernel: split ``text`` into space tokens (empties dropped) and
+    join every ``width`` consecutive tokens per doc into one chunk string.
+
+    Returns (doc_ids_per_chunk:int64 ndarray, chunks:pa.StringArray).
+    Fully vectorized: one split, one boundary mask, one ``pc.binary_join``
+    over a rebuilt list array — no per-token python."""
+    t = t.filter(pc.is_valid(t["text"]))
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    split = pc.split_pattern(t["text"].combine_chunks(), " ")
+    flat = pc.list_flatten(split)
+    parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep].astype(np.int64)
+    n_tok = len(parents)
+    if n_tok == 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    # within-doc token position (parents are non-decreasing after flatten)
+    doc_start = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+    starts_per_tok = np.repeat(doc_start, np.diff(np.r_[doc_start, n_tok]))
+    pos = np.arange(n_tok, dtype=np.int64) - starts_per_tok
+    ci = pos // width
+    # chunk boundary where the doc or the chunk index changes
+    new_chunk = np.r_[True, (parents[1:] != parents[:-1]) | (ci[1:] != ci[:-1])]
+    offsets = np.r_[np.flatnonzero(new_chunk), n_tok]
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    chunks = pc.binary_join(lists, " ")
+    chunk_docs = doc_ids[parents[offsets[:-1]]]
+    return chunk_docs, chunks
+
+
+_DUP_CHUNK_BROADCAST_LIMIT = 2_000_000  # duplicated chunks; ~tens of MB
+
+
+def q_chunk_dedup(sf_dir: str, width: int = 8):
+    """Cross-corpus duplicated-chunk filter (Lee et al. substring-dedup at
+    non-overlapping ``width``-token chunk granularity): a chunk is
+    duplicated when its exact token string occurs ≥2 times anywhere in the
+    corpus; per doc report chunk counts and keep = no duplicated chunk.
+
+    Scale shape: pass 1 pre-aggregates per-block (chunk, cnt) partials
+    (value_counts before any shuffle), one groupby sums them and keeps only
+    cnt≥2 survivors — the DUPLICATED set, tiny for organic corpora — which
+    broadcasts under a guard (probe = one ``pc.index_in`` per batch, exact
+    string match); above the guard a distributed (doc, chunk)⋈dups join
+    computes the same counts.  The token stream itself never shuffles on
+    the fast path."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        _, chunks = _doc_token_chunks(t, width)
+        vc = pa.table({"chunk": chunks}).group_by("chunk").aggregate(
+            [("chunk", "count")])
+        return pa.table({
+            "chunk": vc["chunk"],
+            "cnt": vc["chunk_count"].cast(pa.int64()),
+        })
+
+    dups = (
+        docs.map_batches(chunk_partials, batch_format="pyarrow")
+        .groupby("chunk")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(expr="cnt >= 2")
+        .materialize()  # duplicated-chunk set only (output-sized)
+    )
+    n_dups = dups.count()
+
+    def finalize(doc_ids, chunks, hit) -> pa.Table:
+        n_chunks = np.bincount(doc_ids[1], minlength=len(doc_ids[0]))
+        n_dup = np.bincount(doc_ids[1][hit], minlength=len(doc_ids[0]))
+        present = n_chunks > 0
+        return pa.table({
+            "doc_id": pa.array(doc_ids[0][present]),
+            "n_chunks": pa.array(n_chunks[present].astype(np.int64)),
+            "n_dup_chunks": pa.array(n_dup[present].astype(np.int64)),
+            "keep": pa.array((n_dup[present] == 0).astype(np.int64)),
+        })
+
+    if n_dups <= _DUP_CHUNK_BROADCAST_LIMIT:
+        if n_dups == 0:
+            dup_arr = pa.array([], pa.string())
+        else:
+            dup_arr = pa.array(
+                dups.to_pandas()["chunk"].to_numpy(), pa.string())
+        dup_ref = ray.put(dup_arr)
+
+        def probe(t: pa.Table) -> pa.Table:
+            dup_set = ray.get(dup_ref)
+            chunk_docs, chunks = _doc_token_chunks(t, width)
+            # map chunk-doc ids back to batch-local row index for bincount
+            uniq, inv = np.unique(chunk_docs, return_inverse=True)
+            if len(dup_set):
+                hit = pc.is_valid(pc.index_in(chunks, value_set=dup_set))
+                hit = hit.to_numpy(zero_copy_only=False)
+            else:
+                hit = np.zeros(len(chunks), bool)
+            return finalize((uniq, inv), chunks, hit)
+
+        return docs.map_batches(probe, batch_format="pyarrow").sort("doc_id")
+
+    # fallback: distributed join of (doc, chunk) instance rows against the
+    # duplicated set, then per-doc counts merged with per-doc totals
+    def instance_rows(t: pa.Table) -> pa.Table:
+        chunk_docs, chunks = _doc_token_chunks(t, width)
+        return pa.table({"doc_id": pa.array(chunk_docs), "chunk": chunks})
+
+    inst = docs.map_batches(instance_rows, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+    totals = inst.groupby("doc_id").aggregate(Count(alias_name="n_chunks"))
+    dup_counts = (
+        inst.join(dups.select_columns(["chunk"]), join_type="inner",
+                  num_partitions=_join_parts(inst), on=("chunk",))
+        .groupby("doc_id").aggregate(Count(alias_name="n_dup_chunks"))
+    )
+    joined = totals.join(dup_counts, join_type="left_outer",
+                         num_partitions=_join_parts(totals), on=("doc_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        nd = pc.fill_null(t["n_dup_chunks"], 0).combine_chunks().cast(pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chunks": t["n_chunks"].combine_chunks().cast(pa.int64()),
+            "n_dup_chunks": nd,
+            "keep": pc.cast(pc.equal(nd, 0), pa.int64()),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_CHUNK_DEDUP = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS rn
+  FROM documents
+  WHERE text IS NOT NULL
+), t2 AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY rn) - 1 AS p
+  FROM tok WHERE tok <> ''
+), chunks AS (
+  SELECT doc_id, p // 8 AS ci, string_agg(tok, ' ' ORDER BY p) AS chunk
+  FROM t2 GROUP BY doc_id, p // 8
+), cnt AS (
+  SELECT chunk, count(*) AS c FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(CASE WHEN sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM chunks c JOIN cnt USING (chunk)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+_VOCAB_TF_BROADCAST_LIMIT = 4_000_000  # (term, tf) pairs
+
+
+def q_token_rarity(sf_dir: str):
+    """Per-doc token-rarity quality signal (the Gopher/C4 'fraction of rare
+    words' filter, integer-exact): n_tokens, the sum of each token's GLOBAL
+    corpus frequency (low sum/n ⇒ rare-word-heavy doc), and n_hapax (token
+    positions whose term occurs exactly once in the corpus).
+
+    Scale shape: pass 1 builds the global (term, tf) table from per-block
+    value_counts partials (one narrow vocab-sized groupby); the vocabulary
+    broadcasts under a guard and each batch scores via one ``pc.index_in``
+    lookup + per-doc bincount sums; above the guard a distributed per-doc
+    term-count join computes the same integers."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_rows(t: pa.Table):
+        t = t.filter(pc.is_valid(t["text"]))
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return doc_ids, flat.filter(pa.array(keep)), parents[keep]
+
+    def tf_partials(t: pa.Table) -> pa.Table:
+        _, flat, _ = tok_rows(t)
+        vc = pa.table({"term": flat}).group_by("term").aggregate(
+            [("term", "count")])
+        return pa.table({
+            "term": vc["term"],
+            "tf": vc["term_count"].cast(pa.int64()),
+        })
+
+    vocab = (
+        docs.map_batches(tf_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+        .materialize()  # vocab-sized
+    )
+
+    if vocab.count() <= _VOCAB_TF_BROADCAST_LIMIT:
+        vdf = vocab.to_pandas()
+        terms = pa.array(vdf["term"].to_numpy(), pa.string())
+        tf_ref = ray.put((terms, vdf["tf"].to_numpy().astype(np.int64)))
+
+        def score(t: pa.Table) -> pa.Table:
+            terms_b, tf_b = ray.get(tf_ref)
+            doc_ids, flat, parents = tok_rows(t)
+            idx = pc.index_in(flat, value_set=terms_b)
+            idx = idx.to_numpy(zero_copy_only=False)  # every term is in vocab
+            tf_tok = tf_b[idx]
+            n = len(doc_ids)
+            n_tokens = np.bincount(parents, minlength=n)
+            sum_tf = np.bincount(parents, weights=tf_tok.astype(np.float64),
+                                 minlength=n).astype(np.int64)
+            n_hapax = np.bincount(parents[tf_tok == 1], minlength=n)
+            present = n_tokens > 0
+            return pa.table({
+                "doc_id": pa.array(doc_ids[present]),
+                "n_tokens": pa.array(n_tokens[present].astype(np.int64)),
+                "sum_tf": pa.array(sum_tf[present]),
+                "n_hapax": pa.array(n_hapax[present].astype(np.int64)),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+    # fallback: per-doc (term, n) count rows joined to the tf table — the
+    # shuffle moves per-doc DISTINCT terms, not the token stream
+    def doc_term_counts(t: pa.Table) -> pa.Table:
+        doc_ids, flat, parents = tok_rows(t)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = max(len(enc.dictionary), 1)
+        key = parents.astype(np.int64) * V + codes
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[(uniq // V).astype(np.int64)]),
+            "term": enc.dictionary.take(pa.array(uniq % V)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    dtc = docs.map_batches(doc_term_counts, batch_format="pyarrow")
+    joined = dtc.join(vocab, join_type="inner",
+                      num_partitions=_join_parts(dtc), on=("term",))
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n),
+            "sum_tf": pa.array(n * tf),
+            "n_hapax": pa.array(n * (tf == 1).astype(np.int64)),
+        })
+
+    return (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("sum_tf", alias_name="sum_tf"),
+                   Sum("n_hapax", alias_name="n_hapax"))
+        .sort("doc_id")
+    )
+
+
+SQL_TOKEN_RARITY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), t2 AS (
+  SELECT doc_id, tok FROM tok WHERE tok <> ''
+), tf AS (
+  SELECT tok, count(*) AS tf FROM t2 GROUP BY tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+       CAST(sum(CASE WHEN tf.tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM t2 JOIN tf USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4875,6 +5163,8 @@ _ORACLE = {
     "pii_scan": SQL_PII_SCAN,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "multi_distinct": SQL_MULTI_DISTINCT,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "token_rarity": SQL_TOKEN_RARITY,
 }
 
 _QUERIES = {
@@ -4945,6 +5235,8 @@ _QUERIES = {
     "pii_scan": q_pii_scan,
     "tfidf_top_terms": q_tfidf_top_terms,
     "multi_distinct": q_multi_distinct,
+    "chunk_dedup": q_chunk_dedup,
+    "token_rarity": q_token_rarity,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
