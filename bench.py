@@ -295,7 +295,8 @@ def run_score_only() -> dict:
     t = time.perf_counter() - t0
     out = {"value": round(t, 3), "unit": "sec", "num_cpus": NUM_CPUS,
            "scored_docs": res["n_docs"],
-           "scored_docs_per_sec": round(res["n_docs"] / t, 1)}
+           "scored_docs_per_sec": round(res["n_docs"] / t, 1),
+           "stage_timings": res.get("timings")}
     ray.shutdown()
     return out
 

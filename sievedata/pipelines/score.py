@@ -70,7 +70,12 @@ class ScoreConfig:
                                      # pairs collide <5% of the time
     review_threshold: float = 50.0   # app/config.py:33-34 defaults
     hold_threshold: float = 80.0
-    n_buckets: int = 128
+    # fine-grained: the pair stage's wall is max-task-bound at high core
+    # counts (saturated 200-doc block groups cost ~5-8 s each, serially);
+    # ~1k buckets spreads hot groups so the straggler holds one, not eight
+    # (measured: 81 s → balanced at 32 CPUs on the 41k-doc fixture).
+    # map_groups overhead is ~100 µs/group — noise at this count.
+    n_buckets: int = 1024
     # trained-model artifact (.npz from pipelines/train.py); None → the
     # reference's fixed fallback weights (the DUP_MODEL_PATH swap,
     # app/duplicate_model.py:12)
@@ -822,7 +827,18 @@ def score_documents(
 
     from sievedata.sketches.hashing import hash64
 
+    import time as _time
+
     cfg = cfg or ScoreConfig()
+    timings: dict[str, float] = {}
+    _t_last = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t_last
+        now = _time.perf_counter()
+        timings[name] = round(now - _t_last, 3)
+        _t_last = now
+
     os.makedirs(run_dir, exist_ok=True)
     decisions_dir = os.path.join(run_dir, "decisions")
     if resume and stage_done(decisions_dir):
@@ -885,6 +901,7 @@ def score_documents(
     )
     with commit_dir(decisions_dir) as tmp:
         decisions.write_parquet(tmp)
+    _mark("decisions")
 
     # case sink (S6, app/case.py:16-50): OPEN case per HOLD/REVIEW decision
     # with an SLA due date; deterministic run_date instead of NOW() so batch
@@ -1000,8 +1017,10 @@ def score_documents(
         if os.path.isdir(cases_path):
             shutil.rmtree(cases_path)
         new_cases.write_parquet(cases_path)
+    _mark("cases")
 
     counts = _decision_counts(decisions_dir)
+    _mark("counts")
 
     # audit sink (S7, app/audit.py:13-32): append-only run log with lineage
     audit_path = os.path.join(run_dir, "audit_log.jsonl")
@@ -1014,4 +1033,4 @@ def score_documents(
         }, sort_keys=True) + "\n")
 
     return {"decisions": decisions_dir, "cases": cases_path, "audit": audit_path,
-            **counts}
+            "timings": timings, **counts}

@@ -326,11 +326,17 @@ def _family_mixes(elig: pa.Table, family: str, key_col: str):
 
 
 def _probe_multis(mix: np.ndarray, multis: np.ndarray) -> np.ndarray:
-    """Membership mask of each mix in the sorted multi-group hash set."""
+    """Membership mask of each (64-bit) mix in the sorted 32-bit multi-group
+    hash set.  The prefilter ships TRUNCATED hashes: a truncation collision
+    can only turn a singleton group into a false 'multi' (its rows ship and
+    the checker drops them — dup rules need ≥2 docs in the EXACT group), it
+    can never hide a true multi, so output is identical and pass A costs
+    4 B/key instead of 8."""
     if not multis.size or not mix.size:
         return np.zeros(len(mix), dtype=bool)
-    pos = np.searchsorted(multis, mix)
-    return (pos < len(multis)) & (multis[np.minimum(pos, len(multis) - 1)] == mix)
+    mix32 = mix.astype(np.uint32)  # low 32 bits, matching pass A
+    pos = np.searchsorted(multis, mix32)
+    return (pos < len(multis)) & (multis[np.minimum(pos, len(multis) - 1)] == mix32)
 
 
 def _make_explode_blocks(n_buckets: int, multis_ref=None):
@@ -615,8 +621,8 @@ def _make_stage2_mix_partials(cfg: "ValidateConfig"):
     def fn(batch: pa.Table) -> pa.Table:
         elig = batch.filter(batch.column("eligible"))
         if elig.num_rows == 0:
-            return pa.table({"mix": pa.array([], pa.int64()),
-                             "mbucket": pa.array([], pa.int64())})
+            return pa.table({"mix": pa.array([], pa.int32()),
+                             "mbucket": pa.array([], pa.int16())})
         mixes = [np.empty(0, np.uint64)]
         for family, key_col in _BLOCK_FAMILIES:
             _, m = _family_mixes(elig, family, key_col)
@@ -627,15 +633,19 @@ def _make_stage2_mix_partials(cfg: "ValidateConfig"):
                 elig.column("partition_key").combine_chunks(),
                 cfg.neartext_bands)
             mixes.append(m)
-        u, c = np.unique(np.concatenate(mixes), return_counts=True)
-        # count column elided from the shuffle (−1/3 bytes): emit each
-        # distinct mix once, and each within-batch multi (c ≥ 2) a second
-        # time, so a global ROW count ≥ 2 ⇔ a global DOC count ≥ 2 —
-        # exact, same fixpoint, 16 B/row instead of 24
+        # truncate to 32 bits BEFORE the local count: a truncation collision
+        # only creates a false 'multi' (safe — see _probe_multis), never
+        # hides one, and halves the dominant pass-A shuffle column
+        u, c = np.unique(
+            np.concatenate(mixes).astype(np.uint32), return_counts=True)
+        # count column elided from the shuffle: emit each distinct mix once,
+        # and each within-batch multi (c ≥ 2) a second time, so a global ROW
+        # count ≥ 2 ⇔ a global DOC count ≥ 2 — exact, same fixpoint.
+        # 6 B/row (int32 mix + int16 bucket) vs round 2's 16
         out = np.concatenate([u, u[c >= 2]])
         return pa.table({
-            "mix": pa.array(out.view(np.int64)),
-            "mbucket": pa.array((out % np.uint64(cfg.n_mix_buckets)).astype(np.int64)),
+            "mix": pa.array(out.view(np.int32)),
+            "mbucket": pa.array((out % np.uint32(cfg.n_mix_buckets)).astype(np.int16)),
         })
 
     return fn
@@ -646,10 +656,10 @@ def _multi_mixes(group: pd.DataFrame) -> pd.DataFrame:
     (each partial row is one batch-distinct occurrence; local multis were
     emitted twice, so row count ≥ 2 is exactly doc count ≥ 2)."""
     if not len(group):
-        return pd.DataFrame({"mix": pd.Series(dtype="int64")})
+        return pd.DataFrame({"mix": pd.Series(dtype="int32")})
     mix = group["mix"].to_numpy()
     u, tot = np.unique(mix, return_counts=True)
-    return pd.DataFrame({"mix": u[tot >= 2]})
+    return pd.DataFrame({"mix": u[tot >= 2].astype(np.int32)})
 
 
 def _make_neartext_checker(cfg: ValidateConfig):
@@ -1088,9 +1098,18 @@ def validate_documents(
                         "pdf_hash", "po_number"]
             if cfg.neartext:
                 mix_cols.append("neartext_sig")
+            # coalesce the tiny 6 B/row partials (shuffle=False = streaming
+            # split/merge, no exchange) so the sort-shuffle runs K×K block
+            # fetches with K ≈ cores instead of K = input file count — the
+            # partials are ~1% of the read's bytes, and per-object fetch
+            # overhead, not bandwidth, dominated the 200×200 version
+            # (measured 2× wall at 32 CPUs).  At cluster scale K follows
+            # total cores, keeping partitions ≲64 MB for any corpus whose
+            # distinct-group count is ≲10M keys/core.
             mix_ds = (
                 read_documents(checked_dir, columns=mix_cols)
                 .map_batches(_make_stage2_mix_partials(cfg), batch_format="pyarrow")
+                .repartition(max(n_cpus, 16), shuffle=False)
                 .groupby("mbucket")
                 .map_groups(_multi_mixes, batch_format="pandas")
                 .materialize()
@@ -1100,14 +1119,14 @@ def validate_documents(
                 any_multi = False  # no group anywhere has ≥2 docs
             elif n_multi <= cfg.broadcast_max_rows:
                 multis = np.sort(
-                    mix_ds.to_pandas()["mix"].to_numpy().view(np.uint64))
+                    mix_ds.to_pandas()["mix"].to_numpy().view(np.uint32))
                 multis_ref = ray.put(multis)
             # above the guard the collided fraction is large and the
             # filter wouldn't shrink the shuffle — run unfiltered
             _mark("stage2a_prefilter")
 
         if not any_multi:
-            multis_ref = ray.put(np.empty(0, np.uint64))
+            multis_ref = ray.put(np.empty(0, np.uint32))
 
         # fused pass B: ONE read of the checked intermediate emits filtered
         # block rows AND filtered band rows into a single union schema, one
