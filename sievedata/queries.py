@@ -5091,6 +5091,127 @@ ORDER BY doc_id
 """
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """MOSS winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003) at word-3-gram granularity, window w=4: per doc the shingle
+    count, the DISTINCT window-min fingerprint count, and the min/max
+    fingerprint values (order-insensitive integer summaries of the
+    fingerprint set — the near-copy detection sketch MOSS uses).
+
+    Embarrassingly parallel: ONE map_batches pass, no shuffle.  Shingle
+    construction (``binary_join_element_wise`` over shifted token slices),
+    window minima (``np.minimum`` over shifted hash slices — same-doc
+    shingles are contiguous after the boundary filter) and per-doc dedup
+    (lexsort + boundary diff) are Arrow/numpy vectorized; sha256 is the one
+    per-shingle python loop (no Arrow kernel — the documented
+    row_fingerprint trade).  Docs appear iff they have ≥1 full window
+    (≥ 6 tokens)."""
+    import hashlib
+
+    K, W = 3, 4
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _EMPTY = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_shingles": pa.array([], pa.int64()),
+        "n_fp": pa.array([], pa.int64()),
+        "fp_min": pa.array([], pa.int64()),
+        "fp_max": pa.array([], pa.int64()),
+    })
+
+    def fp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep].astype(np.int64)
+        n_tok = len(parents)
+        if n_tok < K:
+            return _EMPTY
+        # shingles: token positions p with p and p+K-1 in the same doc;
+        # within a doc these are all positions start..end-K+1, contiguous
+        m = n_tok - K + 1
+        sh = pc.binary_join_element_wise(
+            flat.slice(0, m), flat.slice(1, m), flat.slice(2, m), " ")
+        ok = parents[:m] == parents[K - 1:]
+        sh = sh.filter(pa.array(ok))
+        sp = parents[:m][ok]
+        if len(sp) < W:
+            return _EMPTY
+        h = np.fromiter(
+            (int(hashlib.sha256(s).hexdigest()[:15], 16)
+             for s in sh.cast(pa.binary()).to_pylist()),
+            dtype=np.int64, count=len(sp))
+        # full windows: shingle positions q with q and q+W-1 in the same doc
+        nw = len(sp) - W + 1
+        wok = sp[:nw] == sp[W - 1:]
+        wm = h[:nw].copy()
+        for off in range(1, W):
+            np.minimum(wm, h[off:off + nw], out=wm)
+        wm, wp = wm[wok], sp[:nw][wok]
+        if not len(wm):
+            return _EMPTY
+        # distinct (doc, fingerprint) pairs via lexsort + boundary diff
+        order = np.lexsort((wm, wp))
+        wp, wm = wp[order], wm[order]
+        first = np.r_[True, (wp[1:] != wp[:-1]) | (wm[1:] != wm[:-1])]
+        wp, wm = wp[first], wm[first]
+        starts = np.flatnonzero(np.r_[True, wp[1:] != wp[:-1]])
+        ends = np.r_[starts[1:], len(wp)] - 1
+        docs_out = wp[starts]
+        n_sh = np.bincount(sp, minlength=len(doc_ids))[docs_out]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[docs_out]),
+            "n_shingles": pa.array(n_sh.astype(np.int64)),
+            "n_fp": pa.array((ends - starts + 1).astype(np.int64)),
+            "fp_min": pa.array(wm[starts]),   # sorted asc within doc
+            "fp_max": pa.array(wm[ends]),
+        })
+
+    return docs.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS rn
+  FROM documents
+  WHERE text IS NOT NULL
+), t2 AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS p
+  FROM tok WHERE tok <> ''
+), sh AS (
+  SELECT doc_id, p,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+         count(*) OVER (PARTITION BY doc_id) AS n_tok
+  FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), h AS (
+  SELECT doc_id, p, n_tok - 2 AS n_sh,
+         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh WHERE p <= n_tok - 2
+), wm AS (
+  SELECT doc_id, n_sh, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM h
+), sel AS (
+  SELECT DISTINCT doc_id, n_sh, m FROM wm WHERE p <= n_sh - 3
+)
+SELECT doc_id,
+       CAST(max(n_sh) AS BIGINT) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       min(m) AS fp_min,
+       max(m) AS fp_max
+FROM sel
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5165,6 +5286,7 @@ _ORACLE = {
     "multi_distinct": SQL_MULTI_DISTINCT,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "token_rarity": SQL_TOKEN_RARITY,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
 }
 
 _QUERIES = {
@@ -5237,6 +5359,7 @@ _QUERIES = {
     "multi_distinct": q_multi_distinct,
     "chunk_dedup": q_chunk_dedup,
     "token_rarity": q_token_rarity,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
