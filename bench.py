@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "token_rarity",
     "winnow_fingerprints",
+    "posting_lists",
     "kmeans_clusters",
     "decontaminate",
     "dedup_corpus",

@@ -5212,6 +5212,104 @@ ORDER BY doc_id
 """
 
 
+def q_posting_lists(sf_dir: str, cap: int = 5):
+    """Inverted-index build (the S4 search-index sink as a first-class
+    distributed materialization): per term its document frequency and a
+    doc_id-ascending posting list CAPPED at ``cap`` entries (comma-joined —
+    the impact-ordered prefix a search tier actually ships).
+
+    Scale shape: per-block DISTINCT (term, doc_id) pairs via dictionary
+    codes + one packed np.unique (the term_doc_freq combiner), ONE
+    term-keyed shuffle of those distinct pairs, then a term-bucket cogroup
+    that builds every posting string vectorized — lexsort boundaries, a
+    rank<cap mask, and one ``pc.binary_join`` over a rebuilt list array; no
+    per-term python.  map_groups granularity is the ~1k hash buckets, never
+    the vocabulary."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = 512
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep].astype(np.int64)
+        if not len(parents):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tbucket": pa.array([], pa.int64())})
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = max(len(enc.dictionary), 1)
+        key = parents * V + codes
+        uniq = np.unique(key)
+        terms = enc.dictionary.take(pa.array(uniq % V))
+        from sievedata.sketches.hashing import hash64
+        tb = (hash64(terms, seed=11) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "term": terms,
+            "doc_id": pa.array(doc_ids[(uniq // V).astype(np.int64)]),
+            "tbucket": pa.array(tb),
+        })
+
+    def build_postings(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"term": pd.Series(dtype=str),
+                                 "df": pd.Series(dtype="int64"),
+                                 "posting": pd.Series(dtype=str)})
+        terms = df["term"].to_numpy()
+        doc_ids = df["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc_ids, terms))
+        terms, doc_ids = terms[order], doc_ids[order]
+        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]])
+        counts = np.diff(np.r_[starts, len(terms)])
+        # global rank within term (pairs are globally distinct, so the
+        # cogroup sees each (term, doc) once)
+        rank = np.arange(len(terms)) - np.repeat(starts, counts)
+        m = rank < cap
+        kept_counts = np.minimum(counts, cap)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(kept_counts)], pa.int32()),
+            pa.array(doc_ids[m].astype("U"), pa.string()))
+        posting = pc.binary_join(lists, ",")
+        return pd.DataFrame({
+            "term": terms[starts],
+            "df": counts.astype(np.int64),
+            "posting": posting.to_pandas().to_numpy(),
+        })
+
+    return (
+        docs.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(build_postings, batch_format="pandas")
+        .sort("term")
+    )
+
+
+SQL_POSTING_LISTS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), dt AS (
+  SELECT DISTINCT tok AS term, doc_id FROM tok WHERE tok <> ''
+), ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r
+  FROM dt
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN r <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS posting
+FROM ranked
+GROUP BY term
+ORDER BY term
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5287,6 +5385,7 @@ _ORACLE = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "token_rarity": SQL_TOKEN_RARITY,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "posting_lists": SQL_POSTING_LISTS,
 }
 
 _QUERIES = {
@@ -5360,6 +5459,7 @@ _QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "token_rarity": q_token_rarity,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "posting_lists": q_posting_lists,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
