@@ -141,6 +141,25 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return f
 
 
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash (aHash) of a decoded (H, W, 3) image: channel
+    mean → 8×8 block means (reduceat over near-equal row/col spans) → one
+    bit per block, set iff the block mean exceeds the global mean of the 64
+    block means.  A uniform brightness shift moves every block mean AND the
+    global mean by the same amount, so the hash is invariant to it — the
+    property byte-level exact dedup lacks."""
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    rb = (np.arange(8) * h) // 8
+    cb = (np.arange(8) * w) // 8
+    sums = np.add.reduceat(np.add.reduceat(g, rb, axis=0), cb, axis=1)
+    rc = np.diff(np.r_[rb, h]).astype(np.float64)
+    cc = np.diff(np.r_[cb, w]).astype(np.float64)
+    means = sums / np.outer(rc, cc)
+    bits = (means > means.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
 def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     """16-dim audio descriptor: duration, rms, peak, zero-crossing rate,
     channels, rate, 10 rFFT power bands (unit-normalized)."""

@@ -5310,6 +5310,144 @@ ORDER BY term
 """
 
 
+def q_quality_buckets(sf_dir: str, n_buckets: int = 10):
+    """CCNet-style corpus quality bucketing: assign every document a decile
+    bucket by its GLOBAL token-count percentile, tie-insensitive (equal
+    token counts always share a bucket — `floor(n_buckets · rank_lt / N)`
+    where rank_lt counts docs with STRICTLY smaller token counts).  This is
+    the head/middle/tail split CCNet applies to its perplexity scores.
+
+    Scale shape: rank_lt depends only on the doc's own token VALUE, so the
+    whole window collapses to one value-domain histogram — per-block token
+    counting (Arrow-vectorized), ONE narrow groupby over distinct token
+    counts (bounded by max doc length, never corpus size), a driver-side
+    exclusive prefix-sum over that tiny table, then a stateless broadcast
+    searchsorted per batch.  No full-row shuffle or sort anywhere — cheaper
+    than the q_global_rank bin pattern because no per-bin row cogroup is
+    needed."""
+    import ray
+    from ray.data.aggregate import Count
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pa.array(_token_counts(t["text"])),
+        })
+
+    rows = docs.map_batches(tok_rows, batch_format="pyarrow")
+    hist = (
+        rows.groupby("tokens").aggregate(Count(alias_name="c")).to_pandas()
+    )  # value-domain-bounded: one row per DISTINCT token count
+    if not len(hist):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "tokens": pd.Series(dtype="int64"),
+                             "bucket": pd.Series(dtype="int64")})
+    hist = hist.sort_values("tokens")
+    vals = hist["tokens"].to_numpy().astype(np.int64)
+    counts = hist["c"].to_numpy().astype(np.int64)
+    n_total = int(counts.sum())
+    rank_lt = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ref = ray.put((vals, rank_lt))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v, rl = ray.get(ref)
+        tok = _token_counts(t["text"])
+        lt = rl[np.searchsorted(v, tok)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pa.array(tok),
+            "bucket": pa.array((n_buckets * lt // n_total).astype(np.int64)),
+        })
+
+    return docs.map_batches(bucketize, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUALITY_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(COALESCE(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')), 0) AS BIGINT) AS tokens
+  FROM documents
+)
+SELECT doc_id, tokens,
+       CAST((10 * (rank() OVER (ORDER BY tokens) - 1))
+            // count(*) OVER () AS BIGINT) AS bucket
+FROM tok
+ORDER BY doc_id
+"""
+
+
+def q_image_phash_dups(sf_dir: str, group_mod: int = 64, jitter_mod: int = 3):
+    """Multimodal near-dup image grouping via 64-bit average-hash (aHash):
+    synthesize one REAL 24-bit BMP per document (base image seeded by
+    ``doc_id % group_mod``, then a per-doc uniform brightness shift of
+    ``doc_id % jitter_mod`` — so group members are byte-DISTINCT payloads),
+    decode → brightness-invariant aHash → hash-group.  Exact byte dedup
+    cannot group these; the perceptual hash can, and ``distinct_payloads``
+    proves it (1 ⇔ the group holds ≥2 different byte payloads).
+
+    Scale shape: one map_batches decode+hash pass (per-row loop documented
+    — binary codecs have no Arrow kernel; images are bounded 24×16), then
+    ONE narrow groupby over 8-byte hash keys with integer aggregates.  At
+    100 TB the payloads would arrive as a binary column; the synth step is
+    the in-sandbox stand-in (no image libs / no binary testdata column)."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from sievedata.functions.codecs import ahash64, bmp_decode, bmp_encode
+    from sievedata.functions.media import synth_bmp
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = np.empty(len(ids), np.int64)
+        pk = np.empty(len(ids), np.int64)
+        for i, d in enumerate(ids):
+            img = bmp_decode(synth_bmp(int(d) % group_mod))
+            img = np.clip(img.astype(np.int16) + int(d) % jitter_mod,
+                          0, 255).astype(np.uint8)
+            payload = bmp_encode(img)
+            ph[i] = np.int64(np.uint64(ahash64(bmp_decode(payload))))
+            pk[i] = np.frombuffer(
+                hashlib.sha256(payload).digest()[:8], "<i8")[0]
+        return pa.table({
+            "phash": pa.array(ph),
+            "payload_key": pa.array(pk),
+            "doc_id": pa.array(ids),
+        })
+
+    agg = (
+        docs.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("phash")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("doc_id", alias_name="min_doc"),
+            Max("doc_id", alias_name="max_doc"),
+            Min("payload_key", alias_name="_pk_min"),
+            Max("payload_key", alias_name="_pk_max"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["n_docs"], 1)
+        t = t.filter(keep)
+        distinct = pc.cast(
+            pc.not_equal(t["_pk_min"], t["_pk_max"]), pa.int64())
+        return pa.table({
+            "phash": t["phash"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "min_doc": t["min_doc"],
+            "max_doc": t["max_doc"],
+            "distinct_payloads": distinct,
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("phash")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5386,6 +5524,7 @@ _ORACLE = {
     "token_rarity": SQL_TOKEN_RARITY,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "posting_lists": SQL_POSTING_LISTS,
+    "quality_buckets": SQL_QUALITY_BUCKETS,
 }
 
 _QUERIES = {
@@ -5460,8 +5599,10 @@ _QUERIES = {
     "token_rarity": q_token_rarity,
     "winnow_fingerprints": q_winnow_fingerprints,
     "posting_lists": q_posting_lists,
+    "quality_buckets": q_quality_buckets,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
+    "image_phash_dups": q_image_phash_dups,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,

@@ -119,3 +119,28 @@ def test_fake_mode_survives_magic_collisions():
         assert isinstance(r._resize_one(payload), bytes)
     with pytest.raises((ValueError, Exception)):
         decode_media(b"BMW dealership invoice 123", "image", fake=False)
+
+
+def test_ahash64_brightness_invariant_and_discriminative():
+    """aHash must be invariant to a uniform brightness shift (the near-dup
+    property byte dedup lacks) yet separate differently-seeded images."""
+    base = codecs.bmp_decode(synth_bmp(7, width=24, height=16))
+    h0 = codecs.ahash64(base)
+    assert 0 <= h0 < 2**64
+    for shift in (1, 2):
+        bright = np.clip(base.astype(np.int16) + shift, 0, 255).astype(np.uint8)
+        # re-encode/decode round trip = the path the query takes
+        assert codecs.ahash64(
+            codecs.bmp_decode(codecs.bmp_encode(bright))) == h0
+    others = {codecs.ahash64(codecs.bmp_decode(synth_bmp(s, width=24, height=16)))
+              for s in range(8, 16)}
+    assert h0 not in others and len(others) > 1
+
+
+def test_ahash64_non_multiple_of_8_dims():
+    """reduceat block spans must cover ragged (H, W) not divisible by 8."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    img = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    h = codecs.ahash64(img)
+    assert h == codecs.ahash64(img)  # deterministic
+    assert 0 <= h < 2**64
