@@ -30,6 +30,55 @@ def shingle_hashes(text: str, n: int = 5, seed: int = 1719) -> np.ndarray:
     return hash64(shingles, seed=seed)
 
 
+def _packed_hash_pair(gram: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Kirsch-Mitzenmacher base hashes for PACKED uint64 grams — pure
+    splitmix64 integer mixing, no decode-to-string round trip.  h2's
+    derivation mirrors ``hash64_pair`` (odd, so strides cover the space)."""
+    from sievedata.sketches.hashing import _splitmix64
+
+    with np.errstate(over="ignore"):
+        seed_mix = _splitmix64(np.array([seed], np.uint64))[0]
+        h1 = _splitmix64(gram ^ seed_mix)
+        h2 = _splitmix64(h1 ^ np.uint64((seed * 2 + 1) & 0xFFFFFFFFFFFFFFFF))
+        h2 |= np.uint64(1)
+    return h1, h2
+
+
+def _min_perms_blocked(
+    h1: np.ndarray, h2: np.ndarray, doc_n: np.ndarray,
+    rows: np.ndarray, out: np.ndarray, num_perm: int,
+) -> None:
+    """Per-doc minima of h1 + i·h2 for i in [0, num_perm), written into
+    ``out[rows]``.  Doc-boundary chunks sized so h1/h2/scratch stay
+    L2-resident across all num_perm passes — the naive loop re-streams the
+    full window arrays from RAM num_perm times, and validate stage 1 is
+    memory-bandwidth-bound at high core counts (bench.py --membw: triad
+    throughput at 32 procs ≤ 8 procs on this class of box)."""
+    offsets = np.concatenate(([0], np.cumsum(doc_n))).astype(np.int64)
+    n_docs = len(doc_n)
+    chunk_windows = 32_768  # 3 uint64 arrays × 32k ≈ 768 KB ≈ L2-resident
+    d0 = 0
+    with np.errstate(over="ignore"):
+        while d0 < n_docs:
+            d1 = int(np.searchsorted(offsets, offsets[d0] + chunk_windows,
+                                     side="right")) - 1
+            d1 = min(max(d1, d0 + 1), n_docs)
+            s, e = offsets[d0], offsets[d1]
+            h1c, h2c = h1[s:e], h2[s:e]
+            dn = doc_n[d0:d1]
+            ne = dn > 0
+            if ne.any():
+                starts = (offsets[d0:d1] - s)[ne]
+                buf = np.empty(e - s, np.uint64)
+                mins = np.empty((int(ne.sum()), num_perm), np.uint64)
+                for i in range(num_perm):
+                    np.multiply(h2c, np.uint64(i), out=buf)
+                    np.add(buf, h1c, out=buf)
+                    mins[:, i] = np.minimum.reduceat(buf, starts)
+                out[rows[d0:d1][ne]] = mins
+            d0 = d1
+
+
 def minhash_signature_batch(
     texts: list[str], num_perm: int = 64, n: int = 5, seed: int = 1719
 ) -> np.ndarray:
@@ -38,10 +87,21 @@ def minhash_signature_batch(
     Kirsch-Mitzenmacher: perm_i(x) = h1(x) + i·h2(x) — two base hashes per
     shingle, num_perm derived permutations, min over shingles.
 
-    Vectorized across the whole batch: ONE hash call over the concatenated
-    shingle list, then per-permutation segment minima via
-    ``np.minimum.reduceat`` — no per-document hashing overhead.
+    ASCII docs (the hot path): ALL packed uint64 windows — duplicates kept,
+    because min over a multiset equals min over its set, so the per-doc
+    DISTINCT sort the old path paid was pure waste — hashed with splitmix64
+    integer mixing (``_packed_hash_pair``; no decode-to-string round trip),
+    then an L2-blocked permutation loop (``_min_perms_blocked``).  Non-ASCII
+    docs route per-DOC through the distinct-shingle-string scalar path, so
+    every signature depends only on its own document's bytes (deterministic
+    under any Ray batch split).  The two classes therefore hash differently
+    — a near-dup pair straddling the ASCII boundary won't LSH-collide; the
+    downstream Jaccard/Hamming verify gates keep precision exact, and
+    sketch hash values never cross environment boundaries by contract
+    (sketches/hashing.py docstring).
     """
+    import pyarrow.compute as pc
+
     from sievedata.kernels import grams as G
 
     if isinstance(texts, pa.ChunkedArray):
@@ -49,7 +109,6 @@ def minhash_signature_batch(
     if isinstance(texts, pa.Array):
         arr = texts
         if arr.null_count:
-            import pyarrow.compute as pc
             arr = pc.fill_null(arr, "")  # None → "" like the scalar path
     else:
         arr = pa.array([t if t is not None else "" for t in texts],
@@ -58,39 +117,43 @@ def minhash_signature_batch(
     out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if n_docs == 0:
         return out
+
     if n <= 7 and G.is_ascii(arr):
-        # vectorized distinct-shingle extraction (packed uint64 windows →
-        # one np.unique → decode); the DECODED STRINGS hash through the
-        # same hash64, so signatures are bit-identical to the scalar path
-        # (short texts yield the whole text — same special case)
-        _, gram, doc_n = G.distinct_grams_packed(arr, n)
-        shingles = G.packed_to_strings(gram, n)
-        offsets = np.concatenate(([0], np.cumsum(doc_n))).astype(np.int64)
-        if len(shingles) == 0:
-            return out
-        h1, h2 = hash64_pair(shingles, seed=seed)
+        ascii_rows = np.arange(n_docs, dtype=np.int64)
+        ascii_arr = arr
+        other_rows = np.empty(0, np.int64)
+    elif n <= 7:
+        is_a = pc.equal(pc.utf8_length(arr), pc.binary_length(arr))
+        mask = np.asarray(is_a.to_numpy(zero_copy_only=False), dtype=bool)
+        ascii_rows = np.flatnonzero(mask)
+        other_rows = np.flatnonzero(~mask)
+        ascii_arr = arr.take(pa.array(ascii_rows)) if len(ascii_rows) else None
     else:
+        ascii_rows = np.empty(0, np.int64)
+        other_rows = np.arange(n_docs, dtype=np.int64)
+        ascii_arr = None
+
+    if len(ascii_rows):
+        gram, doc_n = G.all_grams_packed(ascii_arr, n)
+        if len(gram):
+            h1, h2 = _packed_hash_pair(gram, seed)
+            _min_perms_blocked(h1, h2, doc_n, ascii_rows, out, num_perm)
+
+    if len(other_rows):
+        sub = arr.take(pa.array(other_rows))
         all_shingles: list[str] = []
-        offsets = np.zeros(n_docs + 1, dtype=np.int64)
-        for row, t in enumerate(arr.to_pylist()):
+        doc_n = np.zeros(len(other_rows), dtype=np.int64)
+        for row, t in enumerate(sub.to_pylist()):
             t = t or ""
             if len(t) < n:
                 sh = [t]
             else:
                 sh = list({t[i : i + n] for i in range(len(t) - n + 1)})
             all_shingles.extend(sh)
-            offsets[row + 1] = offsets[row] + len(sh)
-        if not all_shingles:
-            return out
-        h1, h2 = hash64_pair(all_shingles, seed=seed)
-    starts = offsets[:-1]
-    nonempty = np.diff(offsets) > 0
-    with np.errstate(over="ignore"):
-        for i in range(num_perm):
-            v = h1 + np.uint64(i) * h2
-            mins = np.minimum.reduceat(v, starts[nonempty]) if nonempty.any() else None
-            if mins is not None:
-                out[nonempty, i] = mins
+            doc_n[row] = len(sh)
+        if all_shingles:
+            h1, h2 = hash64_pair(all_shingles, seed=seed)
+            _min_perms_blocked(h1, h2, doc_n, other_rows, out, num_perm)
     return out
 
 

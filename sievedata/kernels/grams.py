@@ -157,6 +157,60 @@ def distinct_grams_packed(
     return doc_idx, gram, doc_n
 
 
+def all_grams_packed(
+    texts: pa.Array | pa.ChunkedArray, n: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """ALL packed n-gram windows per document (duplicates kept, doc-major
+    order) for an ASCII string array — the MinHash input: min over a
+    multiset equals min over its set, so the ``np.unique`` sort that
+    ``distinct_grams_packed`` pays (the single hottest kernel in validate
+    stage 1) is pure waste for signature computation.
+
+    Returns ``(gram, doc_n)``: ``gram`` holds doc 0's windows, then doc
+    1's, …; ``doc_n[d]`` is doc d's window count (``len-n+1`` for full
+    docs, 1 whole-text gram for ``len < n``, 0 for nulls).  No doc-index
+    tag is packed, so there is NO per-batch capacity limit here.  Caller
+    must ensure ``is_ascii(texts)`` and ``n <= 7``."""
+    if n > _MAX_N:
+        raise ValueError(f"n={n} exceeds packable width {_MAX_N}")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ndocs = len(texts)
+    if ndocs == 0:
+        return np.empty(0, np.uint64), np.zeros(0, np.int64)
+    tag_shift = 8 * n
+
+    valid = np.ones(ndocs, dtype=bool)
+    if texts.null_count:
+        valid = np.asarray(texts.is_valid())
+    buf, offsets = _buffers(texts)
+    lens = np.diff(offsets)
+    lens = np.where(valid, lens, -1)  # nulls: no grams at all
+
+    doc_n = np.where(lens >= n, lens - n + 1, np.where(lens >= 0, 1, 0))
+    doc_n = doc_n.astype(np.int64)
+    out_off = np.concatenate(([0], np.cumsum(doc_n)))
+    out = np.zeros(out_off[-1], dtype=np.uint64)
+
+    full = np.nonzero(lens >= n)[0]
+    if len(full):
+        m = doc_n[full]
+        doc_rep = np.repeat(full, m)
+        csum = np.concatenate(([0], np.cumsum(m)))
+        within = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], m)
+        starts = offsets[doc_rep] + within
+        out[out_off[doc_rep] + within] = _pack_windows(buf, starts, n, tag_shift)
+
+    short = np.nonzero((lens >= 0) & (lens < n))[0]
+    for d in short:  # rare; bounded by count of sub-n-char docs
+        o = offsets[d]
+        g = np.uint64(0)
+        for k in range(int(lens[d])):
+            g = (g << np.uint64(8)) | np.uint64(buf[o + k])
+        out[out_off[d]] = g | (np.uint64(int(lens[d])) << np.uint64(tag_shift))
+    return out, doc_n
+
+
 def packed_to_strings(gram: np.ndarray, n: int) -> pa.Array:
     """Decode packed uint64 grams back to their exact ASCII strings."""
     tag_shift = np.uint64(8 * n)

@@ -159,3 +159,27 @@ def test_pair_jaccard_counts_null_fallback():
     assert inter[0] == len(_py_grams("héllo wörld", 3))
     assert inter[1] == 0 and uni[1] == len(_py_grams("xyz", 3))
     assert inter[2] == 0 and uni[2] == len(_py_grams("abc", 3))
+
+
+def test_all_grams_packed_matches_distinct_multiset():
+    """all_grams_packed must emit every window (duplicates kept, doc-major
+    contiguous) whose SET equals distinct_grams_packed's output per doc."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sievedata.kernels import grams as G
+
+    texts = pa.array(["aaaaaaa", "abcdefgh", "ab", "", None, "xyxyxyxy"],
+                     pa.string())
+    gram, doc_n = G.all_grams_packed(texts, 5)
+    exp_counts = [3, 4, 1, 1, 0, 4]
+    assert doc_n.tolist() == exp_counts
+    di, dg, dn = G.distinct_grams_packed(texts, 5)
+    off = np.concatenate(([0], np.cumsum(doc_n)))
+    doff = np.concatenate(([0], np.cumsum(dn)))
+    for d in range(len(texts)):
+        mine = set(gram[off[d]:off[d+1]].tolist())
+        ref = set(dg[doff[d]:doff[d+1]].tolist())
+        assert mine == ref, d
+    # 'aaaaaaa': 3 identical windows — multiset kept
+    assert len(set(gram[off[0]:off[1]].tolist())) == 1

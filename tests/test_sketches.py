@@ -135,10 +135,38 @@ def test_psi_and_ks():
     assert psi(np.array([0.5, 0.5]), np.array([0.5, 0.5])) == pytest.approx(0.0)
 
 
+def _scalar_ascii_sig(t: str | None, num_perm: int = 64, n: int = 5,
+                      seed: int = 1719) -> "np.ndarray":
+    """Definitional scalar re-derivation of one ASCII doc's signature:
+    pack each n-char window's bytes big-endian + length tag, splitmix-mix
+    (``_packed_hash_pair``), min per permutation.  Windows as a SET — the
+    engine keeps duplicates, and min must be idempotent to them."""
+    import numpy as np
+
+    from sievedata.functions.dedup import _packed_hash_pair
+
+    out = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    t = t or ""  # list inputs coerce None → "" (pa.array fill), like the engine
+    sh = [t] if len(t) < n else sorted({t[i:i+n] for i in range(len(t)-n+1)})
+    packed = np.zeros(len(sh), np.uint64)
+    for j, s in enumerate(sh):
+        g = 0
+        for b in s.encode():
+            g = (g << 8) | b
+        packed[j] = np.uint64(g | (len(s) << (8 * n)))
+    h1, h2 = _packed_hash_pair(packed, seed)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            out[i] = (h1 + np.uint64(i) * h2).min()
+    return out
+
+
 def test_minhash_vectorized_path_identical():
-    """The packed-gram shingle fast path must produce BIT-identical
-    signatures to the Python-set scalar path (same shingle strings →
-    same hash64 → same minima)."""
+    """The packed-gram fast path must produce signatures identical to the
+    definitional scalar re-derivation (packed windows → splitmix64 pair →
+    minima), including multiset-idempotence ('aaaaaaa' has 3 identical
+    windows) and per-DOC routing determinism (a doc's signature must not
+    depend on which batch it landed in)."""
     import numpy as np
 
     from sievedata.functions.dedup import minhash_signature_batch
@@ -147,25 +175,26 @@ def test_minhash_vectorized_path_identical():
     texts = ["the quick brown fox jumps", "the quick brown fax jumps",
              "ab", "", None, "aaaaaaa", "invoice 12345 total 99.99"]
     got = minhash_signature_batch(texts)
-    # scalar-path expectation built inline (the pre-vectorization code)
     num_perm, n = 64, 5
-    exp = np.full((len(texts), num_perm), np.iinfo(np.uint64).max,
-                  dtype=np.uint64)
-    for row, t in enumerate(texts):
-        t = t or ""
-        sh = [t] if len(t) < n else list({t[i:i+n] for i in range(len(t)-n+1)})
-        h1, h2 = hash64_pair(sh, seed=1719)
-        with np.errstate(over="ignore"):
-            for i in range(num_perm):
-                exp[row, i] = (h1 + np.uint64(i) * h2).min()
+    exp = np.stack([_scalar_ascii_sig(t) for t in texts])
     np.testing.assert_array_equal(got, exp)
-    # non-ASCII batch routes through the scalar path with the same result
+
+    # non-ASCII docs route per-doc through the distinct-shingle-string path
     got_u = minhash_signature_batch(["héllo wörld invoice", "plain ascii"])
     exp_u = np.full((2, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for row, t in enumerate(["héllo wörld invoice", "plain ascii"]):
-        sh = list({t[i:i+n] for i in range(len(t)-n+1)})
-        h1, h2 = hash64_pair(sh, seed=1719)
-        with np.errstate(over="ignore"):
-            for i in range(num_perm):
-                exp_u[row, i] = (h1 + np.uint64(i) * h2).min()
+    sh = list({"héllo wörld invoice"[i:i+n]
+               for i in range(len("héllo wörld invoice")-n+1)})
+    h1, h2 = hash64_pair(sh, seed=1719)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            exp_u[0, i] = (h1 + np.uint64(i) * h2).min()
+    exp_u[1] = _scalar_ascii_sig("plain ascii")
     np.testing.assert_array_equal(got_u, exp_u)
+
+    # batch-split determinism: each doc's row equals its singleton-batch row
+    mixed = ["héllo wörld invoice", "plain ascii", None, "ab",
+             "the quick brown fox jumps"]
+    whole = minhash_signature_batch(mixed)
+    for r, t in enumerate(mixed):
+        np.testing.assert_array_equal(
+            whole[r], minhash_signature_batch([t])[0], err_msg=str(t))
