@@ -793,18 +793,15 @@ _EMPTY_DECISIONS = pd.DataFrame(
 )
 
 
-def _decision_counts(decisions) -> dict:
-    """Distributed decision tally: groupby-count over either the decisions
-    directory (a pruned read; resume path) or the already-materialized
-    decisions Dataset (no re-read) — the decisions table (one row per doc)
-    never materializes on the driver (round-1 scale sin, VERDICT.md
-    'What's wrong' #2)."""
+def _decision_counts(decisions_dir: str) -> dict:
+    """Distributed decision tally: a pruned read + groupby-count — the
+    decisions table (one row per doc) never materializes on the driver
+    (round-1 scale sin, VERDICT.md 'What's wrong' #2)."""
     import ray.data as rd
 
-    ds = (rd.read_parquet(decisions, columns=["decision"])
-          if isinstance(decisions, str) else decisions)
     counts = (
-        ds.groupby("decision")
+        rd.read_parquet(decisions_dir, columns=["decision"])
+        .groupby("decision")
         .count()
         .to_pandas()
     )
@@ -902,13 +899,6 @@ def score_documents(
             batch_format="pandas",
         )
     )
-    # ONE execution of the decisions plan: the blocks land in the object
-    # store (spillable; ~hundreds of bytes/doc) and feed the parquet write,
-    # the case sink AND the decision tally — previously cases + counts were
-    # two more Dataset jobs re-reading the freshly-written directory (~2-4 s
-    # of fixed plan overhead + tiny-file metadata reads each, flat in core
-    # count, measured eff 0.34/0.23 in the 8→32 stage table).
-    decisions = decisions.materialize()
     with commit_dir(decisions_dir) as tmp:
         decisions.write_parquet(tmp)
     _mark("decisions")
@@ -956,7 +946,13 @@ def score_documents(
             }
         )
 
-    new_cases = decisions.map_batches(to_cases, batch_format="pyarrow")
+    new_cases = (
+        rd.read_parquet(
+            decisions_dir,
+            columns=["doc_id", "partition_key", "decision", "risk_score"],
+        )
+        .map_batches(to_cases, batch_format="pyarrow")
+    )
 
     have_existing = os.path.isdir(cases_path) and any(
         f.endswith(".parquet") for f in os.listdir(cases_path)
@@ -1023,8 +1019,7 @@ def score_documents(
         new_cases.write_parquet(cases_path)
     _mark("cases")
 
-    counts = _decision_counts(
-        decisions.select_columns(["decision"]))
+    counts = _decision_counts(decisions_dir)
     _mark("counts")
 
     # audit sink (S7, app/audit.py:13-32): append-only run log with lineage

@@ -1067,44 +1067,20 @@ def validate_documents(
             return checks_fn(parse_documents_batch(batch))
 
         checked = ds.map_batches(_parse_and_check, batch_format="pyarrow")
-        # ONE execution of the parse+check plan: blocks land in the object
-        # store (node-local, spillable — at 100 TB the spill IS the disk
-        # write, paid once either way) and feed stages 2a/2/3 directly; the
-        # parquet intermediate (the S3 upsert-sink/resume artifact) is
-        # written from the same blocks by a BACKGROUND thread that overlaps
-        # stage 2's compute — previously the write was a barrier and stages
-        # 2/3 re-read + re-decoded the directory it had just written.
-        checked_mat = checked.materialize()
-
-        def _write_checked() -> None:
-            with commit_dir(checked_dir) as tmp:
-                # NO min_rows_per_file here: write-side file coalescing
-                # would collapse the write to ceil(rows/min_rows) tasks
-                # (measured: 3 tasks on 32 cores in round 1).  lz4 for the
-                # INTERNAL intermediate: ~snappy's size at ~2× encode speed
-                # (the 64 B/doc signature column is incompressible).
-                checked_mat.write_parquet(
-                    tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
-
-        import threading
-
-        checked_writer = threading.Thread(target=_write_checked, daemon=True)
-        checked_writer.start()
-    else:
-        checked_mat = None
-        checked_writer = None
+        with commit_dir(checked_dir) as tmp:
+            # NO min_rows_per_file here: write-side file coalescing fuses
+            # with the map stages and collapses the WHOLE stage to
+            # ceil(rows/min_rows) tasks (measured: 3 tasks on 32 cores —
+            # this, not bandwidth, capped round-1 validate scaling).  File
+            # granularity at scale comes from upstream block sizing.
+            # lz4 for the INTERNAL intermediate: ~same size as snappy at
+            # ~2× the encode speed (the 64 B/doc signature column is
+            # incompressible; the stage is write-bound at high core counts)
+            checked.write_parquet(
+                tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
     _mark("stage1_checked")
 
-    def _read_checked(columns: list[str]):
-        """Stages 2a/2/3's view of the checked intermediate: the
-        materialized blocks when this run just computed them (zero re-read
-        — map tasks schedule node-local to the blocks), else the committed
-        parquet directory (resume path)."""
-        if checked_mat is not None:
-            return checked_mat.select_columns(columns)
-        return read_documents(checked_dir, columns=columns)
-
-    # Stages 2 and 3 both consume the narrow intermediate (column-pruned).
+    # Stages 2 and 3 both read the narrow intermediate (column-pruned).
     # They run SEQUENTIALLY: two concurrently-executing Datasets contend for
     # the same CPU pool and thrash (measured 2× slower than back-to-back).
     def _stage2_violations() -> None:
@@ -1131,7 +1107,7 @@ def validate_documents(
             # total cores, keeping partitions ≲64 MB for any corpus whose
             # distinct-group count is ≲10M keys/core.
             mix_ds = (
-                _read_checked(mix_cols)
+                read_documents(checked_dir, columns=mix_cols)
                 .map_batches(_make_stage2_mix_partials(cfg), batch_format="pyarrow")
                 .repartition(max(n_cpus, 16), shuffle=False)
                 .groupby("mbucket")
@@ -1160,7 +1136,7 @@ def validate_documents(
         # pattern) — one read / two shuffles / one write where round 2 had
         # three reads, three shuffles and two sequential writes
         violations = (
-            _read_checked(CHECKED_COLUMNS)
+            read_documents(checked_dir, columns=CHECKED_COLUMNS)
             .map_batches(
                 _make_stage2_rows(cfg, multis_ref), batch_format="pyarrow")
             .groupby("bucket")
@@ -1174,8 +1150,10 @@ def validate_documents(
 
     def _stage3_verdicts() -> pd.DataFrame:
         return (
-            _read_checked(
-                ["doc_id", "partition_key", "invnum_norm", "total", "eligible", "n_spans"])
+            read_documents(
+                checked_dir,
+                columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible", "n_spans"],
+            )
             .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
             .groupby("partition_key")
             .map_groups(_make_partition_finalizer(profile_map, cfg), batch_format="pandas")
