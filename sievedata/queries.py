@@ -2919,6 +2919,152 @@ ORDER BY n DESC, word
 LIMIT 100
 """
 
+# sentinel for per-block Misra-Gries error rows: split(' ') pieces can never
+# contain the delimiter, so a leading space cannot collide with a real token
+_MG_ERR_SENTINEL = " __mg_err__"
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 4096):
+    """EXACT top-k most frequent words via mergeable Misra-Gries summaries
+    (Agarwal et al. 2013, "Mergeable summaries") — same result as
+    ``word_count`` but a fundamentally different 100-TB execution strategy:
+    the vocabulary never shuffles.
+
+    q_word_count shuffles one row per DISTINCT word per block (vocab-sized
+    exchange — fine for bounded vocabularies, quadratic pain for web-scale
+    token soup).  Here each block emits an MG summary of ≤ ``capacity``
+    (word, lower_bound) rows built from its exact value_counts by
+    subtracting the (capacity+1)-th largest count (per-block error e_b ≤
+    N_b/(capacity+1)), plus one sentinel row carrying e_b.  One
+    summary-sized groupby merges them (MG merge = counter sum; errors add:
+    E = Σ e_b).  Candidates with merged lower bound ≥ kth_lo − E are then
+    EXACT-counted in a second read whose shuffle carries only candidate
+    rows (``pc.is_in`` probe against the broadcast candidate set).
+
+    Exactness proof enforced at runtime: ≥ k words have true count ≥
+    kth_lo, so the k-th exact count c_k ≥ kth_lo; every excluded candidate
+    has true count ≤ lo + E < kth_lo ≤ c_k (strict — ties cannot flip);
+    every never-summarized word has true count ≤ E.  If E < c_k the result
+    is provably the exact global top-k; otherwise (adversarially flat
+    distribution / tiny capacity) fall back to the full vocab-sized
+    groupby, which is always exact.  Both the candidate set and the
+    summary table are guarded by BROADCAST_MAX_ROWS with the same
+    fallback."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _rp(sf_dir, "documents", ["text"])
+
+    def _tokens(t: pa.Table) -> pa.Array:
+        words = pc.list_flatten(
+            pc.split_pattern(t["text"].combine_chunks(), " "))
+        return words.filter(pc.not_equal(words, ""))
+
+    def _full_exact():
+        def block_counts(t: pa.Table) -> pa.Table:
+            vc = _tokens(t).value_counts()
+            return pa.table({
+                "word": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            })
+
+        return (
+            docs.map_batches(block_counts, batch_format="pyarrow")
+            .groupby("word")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False])
+            .limit(k)
+        )
+
+    def block_mg(t: pa.Table) -> pa.Table:
+        vc = _tokens(t).value_counts()
+        w = vc.field("values")
+        c = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) > capacity:
+            off = int(np.partition(c, len(c) - capacity - 1)[len(c) - capacity - 1])
+            keep = c > off
+            w = w.filter(pa.array(keep))
+            lo = c[keep] - off
+        else:
+            off = 0
+            lo = c
+        return pa.table({
+            "word": pa.concat_arrays(
+                [pc.cast(w, pa.string()),
+                 pa.array([_MG_ERR_SENTINEL], pa.string())]),
+            "lo": pa.array(np.concatenate([lo, [off]]).astype(np.int64)),
+        })
+
+    merged = (
+        docs.map_batches(block_mg, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("lo", alias_name="lo"))
+        .materialize()  # summary-sized: ≤ capacity × blocks (+1 sentinel)
+    )
+    if merged.count() == 0:  # empty corpus: Ray's empty groupby loses schema
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    if merged.count() > BROADCAST_MAX_ROWS:
+        return _full_exact()
+
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["word"], _MG_ERR_SENTINEL))
+
+    sent = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["word"], _MG_ERR_SENTINEL)),
+        batch_format="pyarrow").to_pandas()
+    err_total = int(sent["lo"].sum()) if len(sent) else 0
+    cand_all = merged.map_batches(_strip, batch_format="pyarrow")
+    top_lo = cand_all.sort("lo", descending=True).limit(k).to_pandas()
+    if not len(top_lo):
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    kth_lo = int(top_lo["lo"].min())
+    thr = kth_lo - err_total  # candidates that could still reach top-k
+    cands = cand_all.map_batches(
+        lambda t, _thr=thr: t.filter(
+            pc.greater_equal(t["lo"], pa.scalar(_thr, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    if len(cands) > BROADCAST_MAX_ROWS:
+        return _full_exact()
+    cand_ref = ray.put(pa.array(cands["word"].to_numpy(), pa.string()))
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        words = _tokens(t)
+        words = words.filter(pc.is_in(words, value_set=ray.get(cand_ref)))
+        vc = words.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    topk = (
+        docs.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # k rows
+    )
+    if err_total > 0 and (len(topk) < k or err_total >= int(topk["n"].min())):
+        # never-summarized words are only bounded by E = err_total: with
+        # fewer than k provable rows, or E ≥ c_k, the pruned pass is not
+        # provably exact — take the always-exact path.  (E == 0 means no
+        # block ever dropped a word, so the counted set IS the vocabulary
+        # restricted to the threshold and the proof holds even under k.)
+        return _full_exact()
+    return topk.reset_index(drop=True)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
 
 def q_semi_join(sf_dir: str, threshold: float = 300_000.0):
     """Distributed semi-join (EXISTS / IN-subquery): customers with at least
@@ -5784,6 +5930,7 @@ _ORACLE = {
     "range_join": SQL_RANGE_JOIN,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "word_count": SQL_WORD_COUNT,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "semi_join": SQL_SEMI_JOIN,
     "pivot_status": SQL_PIVOT_STATUS,
     "rollup_orders": SQL_ROLLUP_ORDERS,
@@ -5863,6 +6010,7 @@ _QUERIES = {
     "range_join": q_range_join,
     "bpe_token_count": q_bpe_token_count,
     "word_count": q_word_count,
+    "heavy_hitters": q_heavy_hitters,
     "semi_join": q_semi_join,
     "pivot_status": q_pivot_status,
     "rollup_orders": q_rollup_orders,

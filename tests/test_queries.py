@@ -100,3 +100,36 @@ def test_repetition_filter_fallback_path_matches_fast_path():
     assert d[10_003] == {"doc_id": 10_003, "n_grams": 4, "n_distinct": 1,
                          "n_dup": 3, "keep": 0}
     assert 10_004 not in d
+
+
+def test_heavy_hitters_capacity_paths_stay_exact(ray_session, ducks):
+    """The MG-pruned top-k must stay EXACT under capacity pressure: tiny
+    per-block capacities force real summary drops (E > 0) and, at the
+    extreme, the runtime exactness check (E < c_k, >= k provable rows) must
+    reject the pruned pass and route through the always-exact fallback.
+    Every capacity must reproduce the oracle answer bit-for-bit."""
+    from sievedata.queries import SQL_HEAVY_HITTERS, q_heavy_hitters
+
+    want = _canon(ducks.execute(SQL_HEAVY_HITTERS).df())
+    for cap in (4096, 64, 8, 1):
+        got = _canon(_to_pandas(q_heavy_hitters(SF_DIR, capacity=cap)))
+        assert list(got.columns) == list(want.columns), cap
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), cap
+
+
+def test_heavy_hitters_empty_corpus(ray_session, tmp_path):
+    """Empty documents table: typed empty frame, no Ray empty-groupby
+    schema loss."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sievedata.queries import q_heavy_hitters
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string()),
+                      "lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "n_chars": pa.array([], pa.int64())})
+    pq.write_table(empty, tmp_path / "documents.parquet")
+    got = _to_pandas(q_heavy_hitters(str(tmp_path)))
+    assert list(got.columns) == ["word", "n"] and len(got) == 0
