@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "posting_lists",
     "kmeans_clusters",
+    "quality_buckets",
+    "image_phash_dups",
+    "domain_mixture",
+    "label_centroids",
+    "ngram_diversity",
+    "weighted_sample",
+    "heavy_hitters",
     "decontaminate",
     "dedup_corpus",
 ]
