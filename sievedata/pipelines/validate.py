@@ -43,6 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from sievedata.pipelines.checkpoint import SUCCESS as _SUCCESS_MARKER
 from sievedata.pipelines.checkpoint import commit_dir, stage_done
 from sievedata.schema import (
     CHECK_DRIFT,
@@ -151,6 +152,15 @@ class ValidateConfig:
     # bucket vectorized (≈4×cores buckets) instead of one python UDF call per
     # micro-group; bucket membership is deterministic, results identical
     n_dup_buckets: int = 128
+    # intra-stage (mid-dataset) checkpointing for stage 1: the input's
+    # parquet fragments are partitioned into this many deterministic waves,
+    # each committed atomically — a killed run resumes from the last
+    # complete wave instead of restarting the whole scan.  1 (default) =
+    # single-shot, which is what the single-node benchmarks measure; at
+    # 100 TB pick waves so one wave is minutes of work (each wave is its
+    # own Dataset job, ~1-2 s fixed overhead).  Non-parquet or single-file
+    # inputs fall back to single-shot.
+    stage1_waves: int = 1
 
 
 class PerDocChecks:
@@ -992,6 +1002,27 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
     return finalize
 
 
+def _stage1_wave_files(path: str, waves: int) -> list[list[str]] | None:
+    """Partition a parquet directory's fragments into ``waves`` deterministic
+    round-robin groups for intra-stage checkpointing.  None means
+    single-shot: waves ≤ 1, a single-file input, or a non-parquet backend
+    (jsonl/csv/lance inputs take the one-commit path).  Local-FS listing;
+    an object-store deployment would list fragments via ``pyarrow.fs`` the
+    same way."""
+    if waves <= 1 or not os.path.isdir(path):
+        return None
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if len(files) < 2:
+        return None
+    waves = min(waves, len(files))
+    return [files[i::waves] for i in range(waves)]
+
+
 def validate_documents(
     documents_path: str,
     profiles_path: str,
@@ -1054,7 +1085,6 @@ def validate_documents(
     if not (resume and stage_done(checked_dir)):
         profiles_ref = ray.put(profile_stats)
         bloom_ref = ray.put(bloom_bytes)
-        ds = read_documents(documents_path)
         checks_fn = _make_per_doc_checks_fn(profiles_ref, bloom_ref, cfg.z_threshold)
 
         def _parse_and_check(batch: pa.Table) -> pa.Table:
@@ -1066,18 +1096,45 @@ def validate_documents(
             # crosses a block boundary.
             return checks_fn(parse_documents_batch(batch))
 
-        checked = ds.map_batches(_parse_and_check, batch_format="pyarrow")
-        with commit_dir(checked_dir) as tmp:
-            # NO min_rows_per_file here: write-side file coalescing fuses
-            # with the map stages and collapses the WHOLE stage to
-            # ceil(rows/min_rows) tasks (measured: 3 tasks on 32 cores —
-            # this, not bandwidth, capped round-1 validate scaling).  File
-            # granularity at scale comes from upstream block sizing.
-            # lz4 for the INTERNAL intermediate: ~same size as snappy at
-            # ~2× the encode speed (the 64 B/doc signature column is
-            # incompressible; the stage is write-bound at high core counts)
-            checked.write_parquet(
-                tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
+        waves = _stage1_wave_files(documents_path, cfg.stage1_waves)
+        if waves is None:
+            checked = read_documents(documents_path).map_batches(
+                _parse_and_check, batch_format="pyarrow")
+            with commit_dir(checked_dir) as tmp:
+                # NO min_rows_per_file here: write-side file coalescing fuses
+                # with the map stages and collapses the WHOLE stage to
+                # ceil(rows/min_rows) tasks (measured: 3 tasks on 32 cores —
+                # this, not bandwidth, capped round-1 validate scaling).  File
+                # granularity at scale comes from upstream block sizing.
+                # lz4 for the INTERNAL intermediate: ~same size as snappy at
+                # ~2× the encode speed (the 64 B/doc signature column is
+                # incompressible; the stage is write-bound at high core counts)
+                checked.write_parquet(
+                    tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
+        else:
+            # mid-dataset checkpointing: each wave of input fragments is a
+            # separate atomically-committed sub-stage; on resume, committed
+            # waves are skipped and only the interrupted tail re-runs.
+            # Downstream stages read checked_dir recursively, so the wave
+            # layout is invisible to them.
+            import shutil as _shutil
+
+            import ray.data as rd
+
+            if not resume and os.path.exists(checked_dir):
+                _shutil.rmtree(checked_dir)
+            os.makedirs(checked_dir, exist_ok=True)
+            for i, wave in enumerate(waves):
+                wdir = os.path.join(checked_dir, f"wave_{i:04d}")
+                if stage_done(wdir):
+                    continue  # committed by the interrupted run
+                wchecked = rd.read_parquet(wave).map_batches(
+                    _parse_and_check, batch_format="pyarrow")
+                with commit_dir(wdir) as tmp:
+                    wchecked.write_parquet(
+                        tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
+            with open(os.path.join(checked_dir, _SUCCESS_MARKER), "w") as f:
+                f.write("")
     _mark("stage1_checked")
 
     # Stages 2 and 3 both read the narrow intermediate (column-pruned).

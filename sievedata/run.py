@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--bloom", required=True)
     sv.add_argument("--run-dir", required=True)
     sv.add_argument("--no-resume", action="store_true")
+    sv.add_argument("--stage1-waves", type=int, default=1,
+                    help="intra-stage checkpoint granularity for the parse+"
+                         "check scan: >1 partitions the input fragments into "
+                         "this many atomically-committed waves so a killed "
+                         "run resumes mid-dataset")
 
     ss = sub.add_parser("score")
     ss.add_argument("--input", required=True)
@@ -92,11 +97,14 @@ def main(argv: list[str] | None = None) -> int:
 
             out = build_profiles(args.baseline, args.catalog, args.out)
         elif args.cmd == "validate":
-            from sievedata.pipelines.validate import validate_documents
+            from sievedata.pipelines.validate import (ValidateConfig,
+                                                      validate_documents)
 
+            vcfg = (ValidateConfig(stage1_waves=args.stage1_waves)
+                    if args.stage1_waves > 1 else None)
             out = validate_documents(
                 args.input, args.profiles, args.bloom, args.run_dir,
-                resume=not args.no_resume,
+                cfg=vcfg, resume=not args.no_resume,
             )
         elif args.cmd == "score":
             from sievedata.pipelines.score import ScoreConfig, score_documents
