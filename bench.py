@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "weighted_sample",
     "heavy_hitters",
+    "window_drift",
     "decontaminate",
     "dedup_corpus",
 ]

@@ -788,6 +788,86 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_window_drift(sf_dir: str, bin_width: float = 100.0):
+    """Windowed distribution-drift inputs over the event stream: for every
+    (hour, value-bin) present, the bin's event count and the SAME bin's
+    count in the previous hour — the integer PSI/KS inputs of the flagship
+    drift monitor (A6, sketches/drift.py) as a first-class streaming query.
+    Verdict metrics stay float-free per the engine's exactness contract:
+    consumers derive PSI from the integer (n_cur, n_prev) pairs.
+
+    Scale shape: per-block (hour, bin) count partials via Arrow group_by
+    (the event stream never shuffles), ONE narrow hour×bin groupby, then a
+    self LEFT join of that aggregate onto itself shifted one hour.  The
+    join consumes aggregate output, so empty zero-column partitions are
+    stripped first (_drop_empty_blocks — Ray 2.49 footgun).  Bin ids are
+    ``floor(value / width)``, the identical IEEE double op in DuckDB."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        h = (pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 3_600_000_000)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        g = (pa.table({"h": pa.array(h), "bin": pa.array(b)})
+             .group_by(["h", "bin"]).aggregate([([], "count_all")]))
+        return pa.table({"h": g["h"], "bin": g["bin"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    agg = (
+        _rp(sf_dir, "events", ["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["h", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # hour×bin-sized; consumed twice (cur + prev sides)
+    )
+    agg = _drop_empty_blocks(agg) or agg
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": t["h"], "bin": t["bin"], "n": t["n"],
+            "prev_h": pc.subtract(t["h"], pa.scalar(1, pa.int64())),
+        })
+
+    def as_prev(t: pa.Table) -> pa.Table:
+        return pa.table({"h_r": t["h"], "bin_r": t["bin"], "n_prev": t["n"]})
+
+    joined = agg.map_batches(shift, batch_format="pyarrow").join(
+        agg.map_batches(as_prev, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=_join_parts(agg),
+        on=("prev_h", "bin"),
+        right_on=("h_r", "bin_r"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        hour = pc.multiply(t["h"], pa.scalar(3_600_000_000, pa.int64())) \
+            .cast(pa.timestamp("us"))
+        return pa.table({
+            "hour": hour,
+            "bin": t["bin"],
+            "n_cur": t["n"],
+            "n_prev": pc.fill_null(pc.cast(t["n_prev"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_WINDOW_DRIFT = """
+WITH binned AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(floor(value / 100.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT c.hour AS hour, c.bin AS bin, c.n AS n_cur,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_prev
+FROM binned c
+LEFT JOIN binned p ON p.hour = c.hour - INTERVAL 1 HOUR AND p.bin = c.bin
+"""
+
+
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user session count with a 30-min inactivity gap
     (groupby(key).map_groups over ts-sorted events — the engine's
@@ -5911,6 +5991,7 @@ _ORACLE = {
     "quality_filter": SQL_QUALITY_FILTER,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "window_drift": SQL_WINDOW_DRIFT,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
@@ -5991,6 +6072,7 @@ _QUERIES = {
     "quality_filter": q_quality_filter,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "window_drift": q_window_drift,
     "ann_topk": q_ann_topk,
     "embedding_norms": q_embedding_norms,
     "embedding_near_dups": q_embedding_near_dups,
