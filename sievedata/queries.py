@@ -3101,12 +3101,13 @@ def q_heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 4096):
                              "n": pd.Series([], dtype="int64")})
     kth_lo = int(top_lo["lo"].min())
     thr = kth_lo - err_total  # candidates that could still reach top-k
-    cands = cand_all.map_batches(
+    cands_ds = cand_all.map_batches(
         lambda t, _thr=thr: t.filter(
             pc.greater_equal(t["lo"], pa.scalar(_thr, pa.int64()))),
-        batch_format="pyarrow").to_pandas()
-    if len(cands) > BROADCAST_MAX_ROWS:
+        batch_format="pyarrow").materialize()
+    if cands_ds.count() > BROADCAST_MAX_ROWS:  # guard BEFORE the driver pull
         return _full_exact()
+    cands = cands_ds.to_pandas()
     cand_ref = ray.put(pa.array(cands["word"].to_numpy(), pa.string()))
 
     def exact_counts(t: pa.Table) -> pa.Table:
