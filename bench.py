@@ -280,6 +280,44 @@ def run_validate_only() -> dict:
     return out
 
 
+def run_profile_only() -> dict:
+    """One timed flagship profile pass at SCALING_DOCS scale (third flagship
+    workload: sketch-partial learning — moments/t-digest/HLL/span-hist per
+    partition — over the 5M-doc baseline table)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from sievedata.pipelines.profile import build_profiles
+
+    from sievedata.fixtures import FIXTURE_VERSION
+    root = os.environ.get("GRAFT_SCALING_ROOT", "/tmp")
+    cache = f"{root}/sievedata_scaling_v{FIXTURE_VERSION}_{SCALING_DOCS}"
+    import pyarrow.parquet as pq
+
+    n_docs = sum(
+        pq.read_metadata(os.path.join(r, f)).num_rows
+        for r, _, fs in os.walk(os.path.join(cache, "baseline"))
+        for f in fs if f.endswith(".parquet")
+    )
+    _warm_workers()
+    t0 = time.perf_counter()
+    build_profiles(
+        os.path.join(cache, "baseline"),
+        os.path.join(cache, "media_catalog.parquet"),
+        os.path.join(cache, f"profilescale_{NUM_CPUS}"),
+    )
+    t = time.perf_counter() - t0
+    out = {"value": round(t, 3), "unit": "sec", "num_cpus": NUM_CPUS,
+           "profiled_docs": n_docs,
+           "profiled_docs_per_sec": round(n_docs / t, 1)}
+    ray.shutdown()
+    return out
+
+
 def run_score_only() -> dict:
     """One timed flagship scoring run (compute-bound scaling workload)."""
     import ray
@@ -548,6 +586,21 @@ if __name__ == "__main__":
         print(json.dumps(run_validate_only()))
     elif "--score-only" in sys.argv:
         print(json.dumps(run_score_only()))
+    elif "--profile-only" in sys.argv:
+        print(json.dumps(run_profile_only()))
+    elif "--profile-scaling" in sys.argv:
+        _prepare_scaling_fixtures()
+        out = {"metric": "profile pass scaling 8→32 cpus"}
+        results = _best_of_trials("--profile-only", "profiled_docs_per_sec")
+        tp8 = results[8]["profiled_docs_per_sec"]
+        tp32 = results[32]["profiled_docs_per_sec"]
+        out["profile"] = {
+            "docs": results[8]["profiled_docs"],
+            "sec_8": results[8]["value"], "sec_32": results[32]["value"],
+            "docs_per_sec_8": tp8, "docs_per_sec_32": tp32,
+            "scaling_efficiency": round((tp32 / tp8) / 4.0, 3),
+        }
+        print(json.dumps(out))
     elif "--kernel-only" in sys.argv:
         print(json.dumps(run_kernel_only()))
     elif "--kernel-scaling" in sys.argv:
