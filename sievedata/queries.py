@@ -822,7 +822,15 @@ def q_window_drift(sf_dir: str, bin_width: float = 100.0):
         .aggregate(Sum("n", alias_name="n"))
         .materialize()  # hour×bin-sized; consumed twice (cur + prev sides)
     )
-    agg = _drop_empty_blocks(agg) or agg
+    stripped = _drop_empty_blocks(agg)
+    if stripped is None:  # empty events: typed empty result, no join
+        return pd.DataFrame({
+            "bin": pd.Series([], dtype="int64"),
+            "hour": pd.Series([], dtype="datetime64[us]"),
+            "n_cur": pd.Series([], dtype="int64"),
+            "n_prev": pd.Series([], dtype="int64"),
+        })
+    agg = stripped
 
     def shift(t: pa.Table) -> pa.Table:
         return pa.table({

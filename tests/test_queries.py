@@ -133,3 +133,25 @@ def test_heavy_hitters_empty_corpus(ray_session, tmp_path):
     pq.write_table(empty, tmp_path / "documents.parquet")
     got = _to_pandas(q_heavy_hitters(str(tmp_path)))
     assert list(got.columns) == ["word", "n"] and len(got) == 0
+
+
+def test_window_drift_empty_events(ray_session, tmp_path):
+    """Empty events table: typed empty frame (no FieldRef failure on the
+    zero-column empty-aggregate blocks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sievedata.queries import q_window_drift
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    })
+    pq.write_table(empty, tmp_path / "events.parquet")
+    got = _to_pandas(q_window_drift(str(tmp_path)))
+    assert len(got) == 0
+    assert sorted(got.columns) == ["bin", "hour", "n_cur", "n_prev"]
