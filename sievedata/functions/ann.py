@@ -22,6 +22,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` column → (n, dim) matrix without per-row Python.
+
+    The hot path (no nulls, uniform width — the only shape the embedding
+    tables ship) is one zero-copy ``flatten()`` + reshape + dtype cast;
+    values are bit-identical to the old ``np.asarray(v) for v in
+    to_pylist()`` idiom (float32→float64 widening is exact).  Ragged or
+    null-bearing columns fall back to the per-row build."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):  # pandas Series / python list fallback
+        return np.vstack([np.asarray(v, dtype=dtype) for v in col])
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if col.null_count == 0:
+        offs = np.asarray(col.offsets)
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(dtype, copy=False).reshape(n, int(widths[0]))
+    return np.vstack([np.asarray(v, dtype=dtype) for v in col.to_pylist()])
+
+
 class BruteForceTopK:
     """map_batches actor stage: local top-k cosine per corpus batch."""
 
@@ -35,27 +59,22 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-        )
-        emb = _normalize(emb)
+        emb = _normalize(embedding_matrix(batch.column("embedding")))
         sims = self.qm @ emb.T  # (n_queries, batch)
         # Select k+1 locally: the batch holding a query's own vector would
         # otherwise burn one of its k slots on self (sim=1.0), which is only
         # filtered after the merge — leaving k-1 true neighbors from that batch.
         k = min(self.k + 1, sims.shape[1])
         top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows_q, rows_n, rows_s = [], [], []
-        for qi in range(sims.shape[0]):
-            for j in top[qi]:
-                rows_q.append(int(self.query_ids[qi]))
-                rows_n.append(int(vec_ids[j]))
-                rows_s.append(float(sims[qi, j]))
+        qidx = np.repeat(np.arange(sims.shape[0]), k)
+        nidx = top.ravel()
         return pa.table(
             {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "neighbor_id": pa.array(rows_n, pa.int64()),
-                "sim": pa.array(rows_s, pa.float64()),
+                "query_id": pa.array(
+                    np.asarray(self.query_ids, dtype=np.int64)[qidx], pa.int64()),
+                "neighbor_id": pa.array(
+                    vec_ids.astype(np.int64, copy=False)[nidx], pa.int64()),
+                "sim": pa.array(sims[qidx, nidx], pa.float64()),
             }
         )
 
@@ -102,10 +121,7 @@ class IVFAssign:
         self.cent = _normalize(np.asarray(cent, dtype=np.float64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-        )
-        emb = _normalize(emb)
+        emb = _normalize(embedding_matrix(batch.column("embedding")))
         cluster = (emb @ self.cent.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("cluster", pa.array(cluster))
 

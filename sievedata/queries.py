@@ -2545,7 +2545,8 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     import ray
 
     from sievedata.functions.ann import (
-        BruteForceTopK, _normalize, kmeans_fit, make_ivf_assign_fn, merge_topk,
+        BruteForceTopK, _normalize, embedding_matrix, kmeans_fit,
+        make_ivf_assign_fn, merge_topk,
     )
 
     sample = (
@@ -2577,9 +2578,7 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     # per-cluster max angular radius — per-batch partials (≤ n_centroids
     # rows each), tiny driver combine
     def radius_partials(t: pa.Table) -> pa.Table:
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
-        )
+        emb = embedding_matrix(t["embedding"])
         if emb.size == 0:
             return pa.table({"cluster": pa.array([], pa.int64()),
                              "radius": pa.array([], pa.float64())})
@@ -2676,8 +2675,8 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     import ray
 
     from sievedata.functions.ann import (
-        BruteForceTopK, hyperplane_signatures, make_planes, merge_topk,
-        _normalize,
+        BruteForceTopK, embedding_matrix, hyperplane_signatures, make_planes,
+        merge_topk, _normalize,
     )
 
     qdf = (
@@ -2703,9 +2702,7 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     def in_probed(t: pa.Table) -> pa.Table:
         keep = ray.get(probe_ref)
         pl = ray.get(planes_ref)
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
-        )
+        emb = embedding_matrix(t["embedding"])
         if emb.size == 0:
             return t
         sig = hyperplane_signatures(_normalize(emb), pl)
@@ -2799,7 +2796,9 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45, n_clusters: int 
     import ray
     from ray.data.aggregate import Max
 
-    from sievedata.functions.ann import _normalize, kmeans_fit, make_ivf_assign_fn
+    from sievedata.functions.ann import (
+        _normalize, embedding_matrix, kmeans_fit, make_ivf_assign_fn,
+    )
 
     sample = _rp(sf_dir, "embeddings", ["embedding"]).limit(10000).to_pandas()
     sm = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
@@ -2813,9 +2812,7 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45, n_clusters: int 
     )
 
     def angle_partial(t: pa.Table) -> pa.Table:
-        emb = _normalize(np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
-        ))
+        emb = _normalize(embedding_matrix(t["embedding"]))
         cl = t["cluster"].to_numpy(zero_copy_only=False)
         cos_to_cent = np.einsum("ij,ij->i", emb, cent[cl])
         ang = np.arccos(np.clip(cos_to_cent, -1.0, 1.0))
@@ -4450,7 +4447,9 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8, sample_cap: int = 20_000):
     tests."""
     from ray.data.aggregate import Count, Sum
 
-    from sievedata.functions.ann import kmeans_fit, make_ivf_assign_fn
+    from sievedata.functions.ann import (
+        embedding_matrix, kmeans_fit, make_ivf_assign_fn,
+    )
 
     import ray
 
@@ -4486,8 +4485,7 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8, sample_cap: int = 20_000):
 
     def assign_with_sim(t: pa.Table) -> pa.Table:
         out = assign(t)
-        emb = np.asarray([np.asarray(v, dtype=np.float64)
-                          for v in t.column("embedding").to_pylist()])
+        emb = embedding_matrix(t.column("embedding"))
         emb = emb / np.maximum(
             np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         cent = ray.get(cent_ref)
