@@ -5975,6 +5975,324 @@ ORDER BY wkey, doc_id LIMIT 100
 
 
 # --------------------------------------------------------------------------
+# Web-corpus curation operators (round-4 additions)
+# --------------------------------------------------------------------------
+
+def q_domain_caps(sf_dir: str, cap: int = 15):
+    """Per-domain document cap (the C4/RefinedWeb "max N pages per host"
+    rule): keep at most ``cap`` docs per ``source``, chosen by a
+    deterministic multiplicative-hash priority — a uniform within-domain
+    sample rather than a doc_id-order prefix — with doc_id tiebreak; emit
+    each kept row with its within-domain rank.
+
+    Scale shape: every block first prunes itself to ≤ cap rows per source
+    via one lexsort + run-boundary ranks (no per-key masks), so the
+    exchange carries O(cap · sources_per_block · blocks) rows; the final
+    selection is a hash-bucketed map_groups over ≤ 64 buckets — never a
+    whole-corpus sort, and a hot domain costs cap rows per block, not its
+    full page count."""
+    from sievedata.sketches.hashing import hash64
+
+    n_buckets = 64
+
+    def _ranked_prefix(ids: np.ndarray, src: np.ndarray, k: int):
+        pri = (ids * 2654435761) % 4294967296
+        order = np.lexsort((ids, pri, src))
+        src_s = src[order]
+        starts = np.flatnonzero(np.concatenate(([True], src_s[1:] != src_s[:-1])))
+        pos = np.arange(len(src_s), dtype=np.int64)
+        rank = pos - starts[np.searchsorted(starts, pos, side="right") - 1]
+        keep = order[rank < k]
+        return keep, (rank[rank < k] + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        keep, _ = _ranked_prefix(ids, src, cap)
+        kept_src = src[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "source": pa.array(kept_src),
+            "bucket": pa.array(hash64(pa.array(kept_src)).astype(np.int64)
+                               % n_buckets),
+        })
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        src = df["source"].to_numpy()
+        keep, rn = _ranked_prefix(ids, src, cap)
+        return pd.DataFrame({
+            "doc_id": ids[keep],
+            "source": src[keep],
+            "rn": rn.astype(np.int64),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pandas")
+        .select_columns(["doc_id", "source", "rn"])
+    )
+
+
+SQL_DOMAIN_CAPS = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 15
+"""
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/valid/test corpus split by doc_id hash (the
+    standard leakage-safe split: membership is a pure function of the id,
+    stable under re-runs and across workers) — emits per-split doc and
+    char totals, the manifest row a curation pipeline writes next to each
+    split.
+
+    Scale shape: per-block integer partials (≤ 3 rows each) into one
+    3-group aggregate; nothing but the manifest leaves the workers."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % 4294967296 % 100
+        split = np.where(h < 10, "test", np.where(h < 20, "valid", "train"))
+        uniq, inv = np.unique(split, return_inverse=True)
+        return pa.table({
+            "split": pa.array(uniq),
+            "n_docs": pa.array(np.bincount(inv, minlength=len(uniq))
+                               .astype(np.int64)),
+            "n_chars": pa.array(np.bincount(inv, weights=nch,
+                                            minlength=len(uniq))
+                                .astype(np.int64)),
+        })
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "split": t["split"],
+            "n_docs": pc.cast(t["sum(n_docs)"], pa.int64()),
+            "n_chars": pc.cast(t["sum(n_chars)"], pa.int64()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n_docs", alias_name="sum(n_docs)"),
+                   Sum("n_chars", alias_name="sum(n_chars)"))
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+            WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20 THEN 'valid'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_pack_windows(sf_dir: str, window: int = 512):
+    """Concat-and-chunk sequence packing (the LLM-pretraining step after
+    dedup/filter): documents are concatenated in doc_id order and cut into
+    fixed ``window``-token contexts; each doc reports the window span it
+    lands in — first/last window id — so straddling docs (attention-mask
+    boundaries) are visible.
+
+    Scale shape: the global token prefix-sum is distributed exactly like
+    q_token_shards — doc_id-range bins, per-bin token sums, a driver
+    prefix over ≤ 256 ints, per-bin local cumsum + offset.  No sort and no
+    whole-corpus materialization; the window span is pure arithmetic on
+    the exclusive prefix."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    stats = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    if stats.get("min(doc_id)") is None:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "tokens": pd.Series(dtype="int64"),
+                             "first_win": pd.Series(dtype="int64"),
+                             "last_win": pd.Series(dtype="int64")})
+    lo = int(stats["min(doc_id)"])
+    hi = int(stats["max(doc_id)"])
+    n_bins = 256
+    width = max((hi - lo + 1 + n_bins - 1) // n_bins, 1)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = np.clip((ids - lo) // width, 0, n_bins - 1).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pa.array(_token_counts(t["text"])),
+            "bin": pa.array(b),
+        })
+
+    rows = ds.map_batches(tok_rows, batch_format="pyarrow")
+    bin_sums = (
+        rows.groupby("bin").aggregate(Sum("tokens", alias_name="t"))
+        .to_pandas().sort_values("bin")
+    )
+    cum = np.concatenate([[0], np.cumsum(bin_sums["t"].to_numpy())[:-1]])
+    offsets = {int(b): int(o) for b, o in zip(bin_sums["bin"], cum)}
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        tok = df["tokens"].to_numpy().astype(np.int64)
+        excl = offsets[int(df["bin"].iloc[0])] + np.cumsum(tok) - tok
+        keep = tok > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "tokens": tok[keep],
+            "first_win": (excl[keep] // window).astype(np.int64),
+            "last_win": ((excl[keep] + tok[keep] - 1) // window).astype(np.int64),
+        })
+
+    return rows.groupby("bin").map_groups(finalize, batch_format="pandas")
+
+
+SQL_PACK_WINDOWS = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(COALESCE(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')), 0) AS BIGINT) AS tokens
+  FROM documents),
+pre AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(sum(tokens) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS excl
+  FROM tok)
+SELECT doc_id, tokens,
+       excl // 512 AS first_win,
+       (excl + tokens - 1) // 512 AS last_win
+FROM pre WHERE tokens > 0
+"""
+
+
+def q_length_filter(sf_dir: str, qlo: float = 0.05, qhi: float = 0.95):
+    """Exact global length-percentile band filter (the "drop the shortest
+    and longest tails" curation rule): keep docs whose ``n_chars`` lies in
+    [p5, p95], where the percentiles are EXACT discrete quantiles
+    (sorted[ceil(q·n)−1], DuckDB's quantile_disc convention — verified
+    index-by-index, see tests).
+
+    Scale shape: the quantiles come from a value-domain histogram — each
+    block emits (n_chars, count) partials via np.unique, one narrow
+    groupby sums them, and the driver prefix-scans the ≤ |distinct
+    lengths| rows (bounded by the value domain, not the corpus); the
+    filter pass is then an embarrassingly-parallel map_batches.  No sort,
+    no quantile sketch approximation."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(nch, return_counts=True)
+        return pa.table({"n_chars": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hdf = (
+        _rp(sf_dir, "documents", ["n_chars"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("n_chars").aggregate(Sum("cnt", alias_name="c"))
+        .to_pandas()
+    )
+    if len(hdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64")})
+    hdf = hdf.sort_values("n_chars")
+    vals = hdf["n_chars"].to_numpy()
+    cum = np.cumsum(hdf["c"].to_numpy())
+    n = int(cum[-1])
+
+    def disc(q: float) -> int:
+        rank = min(max(math.ceil(q * n) - 1, 0), n - 1)  # 0-based
+        return int(vals[np.searchsorted(cum, rank + 1)])
+
+    lo_v, hi_v = disc(qlo), disc(qhi)
+
+    def band(t: pa.Table) -> pa.Table:
+        nch = t["n_chars"]
+        keep = pc.and_(pc.greater_equal(nch, lo_v), pc.less_equal(nch, hi_v))
+        t = t.filter(keep)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+    return _rp(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        band, batch_format="pyarrow")
+
+
+SQL_LENGTH_FILTER = """
+WITH b AS (
+  SELECT quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents)
+SELECT doc_id, n_chars FROM documents, b WHERE n_chars BETWEEN lo AND hi
+"""
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 embedding quantization audit (the memory-4× step
+    before ANN serving): per vector, scale = max|v| ∕ 127, codes =
+    ⌊v∕scale + ½⌋, and the max absolute reconstruction error — emitted as
+    nano-unit integers so the gate compares exact values.  Every op is an
+    identical elementwise IEEE double op on both sides (widen, divide,
+    floor, multiply, subtract, abs, max) — no ordering-sensitive
+    reduction.
+
+    Scale shape: one zero-copy matrix per batch, pure row-wise numpy; no
+    shuffle at all (the audit is embarrassingly parallel)."""
+    from sievedata.functions.ann import embedding_matrix
+
+    def audit(t: pa.Table) -> pa.Table:
+        m = embedding_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "scale_nano": pa.array([], pa.int64()),
+                             "max_err_nano": pa.array([], pa.int64())})
+        vmax = np.abs(m).max(axis=1)
+        keep = vmax > 0
+        m, ids, vmax = m[keep], ids[keep], vmax[keep]
+        scale = vmax / 127.0
+        codes = np.floor(m / scale[:, None] + 0.5)
+        err = np.abs(m - codes * scale[:, None]).max(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "scale_nano": pa.array(np.floor(scale * 1e9).astype(np.int64)),
+            "max_err_nano": pa.array(np.floor(err * 1e9).astype(np.int64)),
+        })
+
+    return _rp(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        audit, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH d AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+m AS (
+  SELECT vec_id, max(abs(x)) AS vmax FROM d GROUP BY vec_id),
+j AS (
+  SELECT d.vec_id, d.x, m.vmax / 127 AS scale
+  FROM d JOIN m USING (vec_id) WHERE m.vmax > 0)
+SELECT vec_id,
+       CAST(floor(any_value(scale) * 1000000000) AS BIGINT) AS scale_nano,
+       CAST(floor(max(abs(x - floor(x / scale + 0.5) * scale))
+                  * 1000000000) AS BIGINT) AS max_err_nano
+FROM j GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6057,6 +6375,11 @@ _ORACLE = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "domain_caps": SQL_DOMAIN_CAPS,
+    "hash_split": SQL_HASH_SPLIT,
+    "pack_windows": SQL_PACK_WINDOWS,
+    "length_filter": SQL_LENGTH_FILTER,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }
 
 _QUERIES = {
@@ -6138,6 +6461,11 @@ _QUERIES = {
     "label_centroids": q_label_centroids,
     "ngram_diversity": q_ngram_diversity,
     "weighted_sample": q_weighted_sample,
+    "domain_caps": q_domain_caps,
+    "hash_split": q_hash_split,
+    "pack_windows": q_pack_windows,
+    "length_filter": q_length_filter,
+    "embedding_quantize": q_embedding_quantize,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "image_phash_dups": q_image_phash_dups,
