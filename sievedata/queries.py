@@ -6292,6 +6292,287 @@ FROM j GROUP BY vec_id
 """
 
 
+def q_bpe_merge_candidates(sf_dir: str, k: int = 20):
+    """First BPE merge step: corpus-wide counts of ADJACENT token pairs
+    (the pair a byte-pair-encoding trainer would merge next), top-k by
+    count with deterministic (t1, t2) tiebreak.
+
+    Scale shape: each block dictionary-encodes its token stream once,
+    forms adjacency pairs with pure offset arithmetic (a pair exists where
+    two consecutive flat tokens share a parent doc), and emits
+    vocab²-bounded (pair, n) partials via one np.unique — the shuffle
+    carries pair-vocabulary rows, never the token stream; the final top-k
+    is a sort over the summed pair vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        txt = t["text"].combine_chunks()
+        if len(txt) == 0:
+            return empty
+        split = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        if len(flat) < 2:
+            return empty
+        adj = parents[1:] == parents[:-1]
+        if not adj.any():
+            return empty
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(adj))
+        right = flat.slice(1).filter(pa.array(adj))
+        pair = pc.binary_join_element_wise(left, right, "\x1f")
+        uniq, cnt = np.unique(np.asarray(pair), return_counts=True)
+        return pa.table({"pair": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def project(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["pair"], "\x1f")
+        return pa.table({
+            "t1": pc.list_element(parts, 0),
+            "t2": pc.list_element(parts, 1),
+            "n": pc.cast(t["sum(n)"], pa.int64()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["text"])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="sum(n)"))
+        .map_batches(project, batch_format="pyarrow")
+        .sort(["n", "t1", "t2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+SQL_BPE_MERGE_CANDIDATES = """
+WITH tok AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents WHERE text IS NOT NULL),
+idx AS (
+  SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+  FROM tok WHERE len(ts) >= 2)
+SELECT ts[i] AS t1, ts[i + 1] AS t2, count(*) AS n
+FROM idx GROUP BY t1, t2
+ORDER BY n DESC, t1, t2 LIMIT 20
+"""
+
+
+def q_dup_ratio_by_source(sf_dir: str):
+    """Per-domain exact-duplicate ratio (boilerplate-host detector): for
+    each ``source``, total docs and how many are byte-identical copies of
+    another doc from the same source (n_docs − distinct texts) — the
+    curation metric that decides which hosts get aggressive dedup.
+
+    Scale shape: distinct-text counting is EXACT and decomposes over
+    text-hash buckets (equal texts always share a bucket, so within-bucket
+    distinct counts are additive): one cogroup shuffle of (source, text)
+    bucketed by hash64(text), per-bucket vectorized drop_duplicates, then
+    a source-keyed integer sum; per-source totals ride a separate narrow
+    partial — the text column crosses the wire exactly once."""
+    from ray.data.aggregate import Sum
+
+    from sievedata.sketches.hashing import hash64
+
+    n_buckets = 128
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        txt = t["text"].combine_chunks()
+        b = (hash64(txt) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"source": t["source"], "text": txt,
+                         "bucket": pa.array(b)})
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["source", "text"])
+        g = d.groupby("source", sort=False).size()
+        return pd.DataFrame({"source": g.index.to_numpy(),
+                             "n_distinct": g.to_numpy().astype(np.int64)})
+
+    distinct = (
+        _rp(sf_dir, "documents", ["source", "text"])
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_distinct", alias_name="nd"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        src = t["source"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.table({"source": pa.array(uniq),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    totals = (
+        _rp(sf_dir, "documents", ["source", "text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n"))
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        nd = pc.cast(t["nd"], pa.int64())
+        return pa.table({
+            "source": t["source"],
+            "n_docs": n,
+            "n_dup_docs": pc.subtract(n, nd),
+        })
+
+    # hash aggregates can emit zero-column blocks for empty partitions
+    # (Ray 2.49) which break the join's FieldRef resolution — strip them
+    totals = totals.materialize()
+    totals = _drop_empty_blocks(totals) or totals
+    distinct = distinct.materialize()
+    distinct = _drop_empty_blocks(distinct) or distinct
+    return (
+        totals.join(distinct, join_type="inner", num_partitions=8,
+                    on=("source",))
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+SQL_DUP_RATIO_BY_SOURCE = """
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+FROM documents WHERE text IS NOT NULL GROUP BY source
+"""
+
+
+def q_event_funnel(sf_dir: str):
+    """Ordered conversion funnel over the event stream: per user, how far
+    through view → click → purchase they progressed, where each stage must
+    STRICTLY FOLLOW the previous one in time (min qualifying timestamp
+    chains, the standard product-analytics funnel with re-ordering
+    ruled out).
+
+    Scale shape: one user-hash cogroup shuffle; inside each bucket the
+    stage chain is three masked groupby-transform('min') passes over
+    microsecond-integer timestamps — vectorized across all users in the
+    bucket, no per-user loop, and timestamp comparisons are integer-exact
+    so the oracle agrees bit-for-bit."""
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(u % n_buckets))
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"]
+        ts = df["ts"]
+        t1 = ts.where(df["event_type"] == "view").groupby(uid).transform("min")
+        t2 = (ts.where((df["event_type"] == "click") & (ts > t1))
+              .groupby(uid).transform("min"))
+        t3 = (ts.where((df["event_type"] == "purchase") & (ts > t2))
+              .groupby(uid).transform("min"))
+        stage = (t1.notna().astype(np.int64) + t2.notna().astype(np.int64)
+                 + t3.notna().astype(np.int64))
+        out = pd.DataFrame({"user_id": uid.to_numpy().astype(np.int64),
+                            "stage": stage.to_numpy()})
+        return out.groupby("user_id", as_index=False, sort=False)["stage"].max()
+
+    return (
+        _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .select_columns(["user_id", "stage"])
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+def q_json_props_sum(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer ``k`` field
+    out of the JSON ``props`` column and aggregate it per event type (the
+    ubiquitous "parse the properties blob" step of event analytics).
+
+    Exactness: extraction is the same RE2 regex on both sides (Arrow
+    ``extract_regex`` and DuckDB ``regexp_extract`` are both RE2 — the
+    pii_scan precedent), and the aggregate is an integer sum.
+
+    Scale shape: per-block (event_type, sum, count) integer partials; one
+    ≤ |event types| groupby — nothing but the partials shuffles."""
+    from ray.data.aggregate import Sum
+
+    pat = r'"k":\s*(?P<v>-?\d+)'
+
+    def partial(t: pa.Table) -> pa.Table:
+        props = pc.fill_null(t["props"].combine_chunks(), "")
+        ext = pc.extract_regex(props, pat)
+        valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        vals = np.zeros(len(props), dtype=np.int64)
+        if valid.any():
+            picked = pc.struct_field(ext.filter(pa.array(valid)), "v")
+            vals[valid] = pc.cast(picked, pa.int64()).to_numpy(
+                zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(uniq),
+            "k_sum": pa.array(np.bincount(inv, weights=vals,
+                                          minlength=len(uniq))
+                              .astype(np.int64)),
+            "n_extracted": pa.array(np.bincount(inv, weights=valid.astype(np.int64),
+                                                minlength=len(uniq))
+                                    .astype(np.int64)),
+        })
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "k_sum": pc.cast(t["sum(k_sum)"], pa.int64()),
+            "n_extracted": pc.cast(t["sum(n_extracted)"], pa.int64()),
+        })
+
+    return (
+        _rp(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="sum(k_sum)"),
+                   Sum("n_extracted", alias_name="sum(n_extracted)"))
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+SQL_JSON_PROPS_SUM = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(sum(CASE WHEN regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extracted
+FROM events WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6380,6 +6661,10 @@ _ORACLE = {
     "pack_windows": SQL_PACK_WINDOWS,
     "length_filter": SQL_LENGTH_FILTER,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
+    "dup_ratio_by_source": SQL_DUP_RATIO_BY_SOURCE,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "json_props_sum": SQL_JSON_PROPS_SUM,
 }
 
 _QUERIES = {
@@ -6466,6 +6751,10 @@ _QUERIES = {
     "pack_windows": q_pack_windows,
     "length_filter": q_length_filter,
     "embedding_quantize": q_embedding_quantize,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "dup_ratio_by_source": q_dup_ratio_by_source,
+    "event_funnel": q_event_funnel,
+    "json_props_sum": q_json_props_sum,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "image_phash_dups": q_image_phash_dups,
