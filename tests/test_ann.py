@@ -104,3 +104,39 @@ def test_simhash_hamming():
     d_far = hamming64(sigs[0:1], sigs[2:3])[0]
     assert d_near < d_far
     assert hamming64(sigs[0:1], sigs[0:1])[0] == 0
+
+
+def test_embedding_matrix_shapes_and_values():
+    """Zero-copy list<float> → matrix: plain, chunked, sliced (non-zero
+    offset), empty, and pandas-Series fallback all agree with the per-row
+    build; ragged input raises like the old idiom did."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from sievedata.functions.ann import embedding_matrix
+
+    arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float32()))
+    expect = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    np.testing.assert_array_equal(embedding_matrix(arr), expect)
+    assert embedding_matrix(arr).dtype == np.float64
+
+    chunked = pa.chunked_array([arr.slice(0, 1), arr.slice(1)])
+    np.testing.assert_array_equal(embedding_matrix(chunked), expect)
+
+    sliced = arr.slice(1)  # offsets no longer start at 0
+    np.testing.assert_array_equal(embedding_matrix(sliced), expect[1:])
+
+    empty = pa.array([], pa.list_(pa.float32()))
+    assert embedding_matrix(empty).shape == (0, 0)
+
+    series = pd.Series([[1.0, 2.0], [3.0, 4.0]])
+    np.testing.assert_array_equal(embedding_matrix(series), expect[:2])
+
+    # float32 → float64 widening is exact (bit-identical to the old idiom)
+    f32 = pa.array([[0.1, 0.2]], pa.list_(pa.float32()))
+    old = np.asarray([np.asarray(v, dtype=np.float64) for v in f32.to_pylist()])
+    np.testing.assert_array_equal(embedding_matrix(f32), old)
+
+    ragged = pa.array([[1.0, 2.0], []], pa.list_(pa.float32()))
+    with pytest.raises(ValueError):
+        embedding_matrix(ragged)
