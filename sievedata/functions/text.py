@@ -89,28 +89,54 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 class LangId:
     """Stopword-profile language classifier — an actor-pool stage
-    (profiles + regex compiled once per actor in __init__)."""
+    (profiles + regex compiled once per actor in __init__).
+
+    ``__call__`` is vectorized across the batch: one regex split +
+    ``pc.is_in`` membership pass per language builds a (docs × langs) hit
+    matrix, argmax with the scalar path's first-greater tie rule.
+    ``classify`` keeps the per-row reference implementation (parity-tested
+    against the batch path)."""
 
     def __init__(self):
         self.word = re.compile(r"[a-z']+")
         self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+        self.langs = sorted(self.profiles)
+        self._prof_arrays = [
+            pa.array(sorted(self.profiles[lang]), pa.string())
+            for lang in self.langs
+        ]
 
     def classify(self, text: str) -> str:
         toks = self.word.findall(text.lower())
         if not toks:
             return "und"
         best_lang, best_hits = "und", 0
-        for lang in sorted(self.profiles):
+        for lang in self.langs:
             hits = sum(1 for t in toks if t in self.profiles[lang])
             if hits > best_hits:
                 best_lang, best_hits = lang, hits
         return best_lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = pa.array(
-            [self.classify(t or "") for t in batch.column("text").to_pylist()], pa.string()
-        )
-        return batch.select(["doc_id"]).append_column("lang_pred", preds)
+        txt = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n = len(txt)
+        toks = pc.split_pattern_regex(pc.utf8_lower(txt), "[^a-z']+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, prof in enumerate(self._prof_arrays):
+            m = pc.is_in(flat, value_set=prof).to_numpy(zero_copy_only=False)
+            if m.any():
+                hits[:, j] = np.bincount(parents[m], minlength=n)
+        # first max in sorted-lang order == the scalar strictly-greater scan
+        best = hits.argmax(axis=1) if len(self.langs) else np.zeros(n, np.int64)
+        lang_arr = np.asarray(self.langs, dtype=object)
+        preds = np.where(hits.max(axis=1, initial=0) > 0, lang_arr[best], "und")
+        return batch.select(["doc_id"]).append_column(
+            "lang_pred", pa.array(preds.tolist(), pa.string()))
 
 
 def fingerprint_column(text: pa.Array | pa.ChunkedArray, seed: int = 9001) -> pa.Array:
