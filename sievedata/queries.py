@@ -6573,6 +6573,97 @@ GROUP BY event_type
 """
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention over the event stream: users are cohorted
+    by the Monday-start week of their FIRST event; for each (cohort week,
+    week offset) the distinct active users — the grid every retention
+    curve is drawn from.
+
+    Week truncation is pure integer arithmetic on epoch days
+    (``day − ((day + 3) mod 7)``, Monday-start, matching DuckDB's
+    date_trunc('week')), so both sides agree exactly.
+
+    Scale shape: per-user first-event is a narrow (user, min-micros)
+    aggregate; cohorts rejoin the stream with ONE hash join (no
+    user-table broadcast — users are unbounded at corpus scale); distinct
+    actives collapse per block via np.unique before the final
+    (cohort, offset, user)-keyed dedup groupby and the tiny count
+    groupby."""
+    from ray.data.aggregate import Min
+
+    DAY_US = 86_400_000_000
+
+    def week_day(micros: np.ndarray) -> np.ndarray:
+        day = micros // DAY_US
+        return day - ((day + 3) % 7)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "micros": pc.cast(t["ts"], pa.int64()),
+        })
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        to_int, batch_format="pyarrow")
+    first = ev.groupby("user_id").aggregate(
+        Min("micros", alias_name="first_micros")).materialize()
+    first = _drop_empty_blocks(first) or first
+
+    def cohort_col(t: pa.Table) -> pa.Table:
+        fm = t["first_micros"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "cohort_day": pa.array(week_day(fm)),
+        })
+
+    cohorts = first.map_batches(cohort_col, batch_format="pyarrow")
+
+    def triples(t: pa.Table) -> pa.Table:
+        um = t["micros"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = t["cohort_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = (week_day(um) - cd) // 7
+        # per-block distinct collapse before the shuffle
+        key = np.stack([cd, off, uid], axis=1)
+        key = np.unique(key, axis=0)
+        return pa.table({
+            "cohort_day": pa.array(key[:, 0]),
+            "week_offset": pa.array(key[:, 1]),
+            "user_id": pa.array(key[:, 2]),
+        })
+
+    def count_users(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["cohort_day", "week_offset", "user_id"])
+        out = (g.groupby(["cohort_day", "week_offset"], sort=False)
+               .size().reset_index(name="n_users"))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return (
+        ev.join(cohorts, join_type="inner", num_partitions=8,
+                on=("user_id",))
+        .map_batches(triples, batch_format="pyarrow")
+        .groupby(["cohort_day", "week_offset"])
+        .map_groups(count_users, batch_format="pandas")
+        .select_columns(["cohort_day", "week_offset", "n_users"])
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH f AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', date_trunc('week', min(ts)))
+           AS cohort_day
+  FROM events GROUP BY user_id)
+SELECT f.cohort_day,
+       (datediff('day', DATE '1970-01-01', date_trunc('week', e.ts))
+          - f.cohort_day) // 7 AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6665,6 +6756,7 @@ _ORACLE = {
     "dup_ratio_by_source": SQL_DUP_RATIO_BY_SOURCE,
     "event_funnel": SQL_EVENT_FUNNEL,
     "json_props_sum": SQL_JSON_PROPS_SUM,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }
 
 _QUERIES = {
@@ -6755,6 +6847,7 @@ _QUERIES = {
     "dup_ratio_by_source": q_dup_ratio_by_source,
     "event_funnel": q_event_funnel,
     "json_props_sum": q_json_props_sum,
+    "retention_cohorts": q_retention_cohorts,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "image_phash_dups": q_image_phash_dups,
