@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "window_drift",
     "decontaminate",
     "dedup_corpus",
+    "domain_caps",
+    "pack_windows",
+    "dup_ratio_by_source",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "embedding_quantize",
+    "retention_cohorts",
 ]
 
 
