@@ -79,6 +79,28 @@ class BruteForceTopK:
         )
 
 
+_BF_CACHE: dict = {}
+
+
+def make_bruteforce_fn(queries_ref, k: int = 5):
+    """BruteForceTopK as a plain task fn with one cached instance per
+    worker process — reuses Ray's warm worker pool instead of paying
+    actor-pool spin-up for every (short) top-k execution (the
+    make_ivf_assign_fn pattern; the query matrix is tiny, so caching it
+    per worker costs nothing)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (queries_ref.hex(), k)
+        inst = _BF_CACHE.get(key)
+        if inst is None:
+            inst = BruteForceTopK(queries_ref, k=k)
+            _BF_CACHE.clear()
+            _BF_CACHE[key] = inst
+        return inst(batch)
+
+    return fn
+
+
 def merge_topk(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     """Final reduce: global top-k per query from per-block candidates.
 

@@ -929,7 +929,7 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     local top-k, final merge (functions/ann.py)."""
     import ray
 
-    from sievedata.functions.ann import BruteForceTopK, merge_topk
+    from sievedata.functions.ann import make_bruteforce_fn, merge_topk
 
     qdf = (
         _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -943,10 +943,7 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     cands = (
         _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(
-            BruteForceTopK,
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+            make_bruteforce_fn(queries_ref, k=k), batch_format="pyarrow",
         )
         .to_pandas()
     )
@@ -2143,7 +2140,7 @@ def q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
     Built on the brute-force broadcast top-k."""
     import ray
 
-    from sievedata.functions.ann import BruteForceTopK, merge_topk
+    from sievedata.functions.ann import make_bruteforce_fn, merge_topk
 
     qdf = (
         _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2157,8 +2154,7 @@ def q_knn_classify(sf_dir: str, k: int = 5, n_queries: int = 20):
     cands = (
         _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(
-            BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
-            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+            make_bruteforce_fn(queries_ref, k=k), batch_format="pyarrow",
         )
         .to_pandas()
     )
@@ -2545,7 +2541,7 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     import ray
 
     from sievedata.functions.ann import (
-        BruteForceTopK, _normalize, embedding_matrix, kmeans_fit,
+        _normalize, embedding_matrix, kmeans_fit, make_bruteforce_fn,
         make_ivf_assign_fn, merge_topk,
     )
 
@@ -2617,8 +2613,7 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
         return (
             assigned.map_batches(in_probed, batch_format="pyarrow")
             .map_batches(
-                BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
-                fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+                make_bruteforce_fn(queries_ref, k=k), batch_format="pyarrow",
             )
             .to_pandas()
         )
@@ -2675,8 +2670,8 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
     import ray
 
     from sievedata.functions.ann import (
-        BruteForceTopK, embedding_matrix, hyperplane_signatures, make_planes,
-        merge_topk, _normalize,
+        embedding_matrix, hyperplane_signatures, make_bruteforce_fn,
+        make_planes, merge_topk, _normalize,
     )
 
     qdf = (
@@ -2713,8 +2708,7 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 5,
         _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(in_probed, batch_format="pyarrow")
         .map_batches(
-            BruteForceTopK, batch_format="pyarrow", concurrency=(1, 4),
-            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+            make_bruteforce_fn(queries_ref, k=k), batch_format="pyarrow",
         )
         .to_pandas()
     )
