@@ -6558,8 +6558,9 @@ def q_json_props_sum(sf_dir: str):
 
 SQL_JSON_PROPS_SUM = """
 SELECT event_type,
-       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
-            AS BIGINT) AS k_sum,
+       CAST(COALESCE(sum(CAST(nullif(
+              regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS BIGINT)),
+            0) AS BIGINT) AS k_sum,
        CAST(sum(CASE WHEN regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_extracted
 FROM events WHERE props IS NOT NULL

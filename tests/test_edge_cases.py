@@ -395,3 +395,161 @@ def test_dedup_components_deep_chain_pointer_doubling(ray_session, tmp_path):
     got = (Q.q_dedup_components(sf, max_iters=7).to_pandas()
            .sort_values("doc_id"))
     assert list(map(tuple, got[["doc_id", "component"]].values)) == want
+
+
+def test_curation_queries_on_adversarial_documents(ray_session, tmp_path):
+    """Round-4 curation queries (domain caps, hash split, packing, length
+    filter, BPE pairs, dup ratio) on the adversarial documents table (NULL
+    / empty / sub-gram / non-ASCII texts, one hot source), engine vs
+    DuckDB oracle."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from sievedata import queries as Q
+
+    sf = str(tmp_path)
+    rows = {
+        "doc_id": list(range(1, 21)),
+        "text": (["hello world common text"] * 5
+                 + [None, "", "ab", "abcd", "héllo wörld ünïcode"]
+                 + [f"the quick brown fox {i} jumps over" for i in range(10)]),
+        "lang": ["en"] * 10 + ["de"] * 10,
+        "source": ["hot"] * 17 + ["cold", "cold", "tail"],
+        "n_chars": [23] * 5 + [0, 0, 2, 4, 19] + [30] * 10,
+    }
+    pq.write_table(pa.table(rows), f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+
+    def canon(obj):
+        df = obj.to_pandas() if isinstance(obj, (ray.data.Dataset, pa.Table)) else obj
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    def h(d):
+        return hashlib.md5(
+            pd.util.hash_pandas_object(d, index=False).values.tobytes()
+        ).hexdigest()
+
+    osql = Q.oracle_sql()
+    for name in ["domain_caps", "hash_split", "pack_windows", "length_filter",
+                 "bpe_merge_candidates", "dup_ratio_by_source"]:
+        got = canon(Q.queries()[name](sf))
+        want = canon(con.execute(osql[name]).fetch_df())
+        assert len(got) == len(want), name
+        assert list(got.columns) == list(want.columns), name
+        assert h(got) == h(want), name
+
+
+def test_event_queries_on_adversarial_events(ray_session, tmp_path):
+    """Funnel / retention / JSON extraction on a crafted events table:
+    purchase-before-click ordering, users missing stages, NULL and
+    malformed props — engine vs DuckDB oracle."""
+    import hashlib
+    from datetime import datetime
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from sievedata import queries as Q
+
+    sf = str(tmp_path)
+
+    def ts(day, hour):
+        return datetime(2024, 3, day, hour, 0, 0)
+
+    rows = [
+        # u1: full ordered funnel across two weeks
+        (1, ts(4, 1), 1, "view", '{"k": 5}'),
+        (2, ts(4, 2), 1, "click", '{"k": -3}'),
+        (3, ts(12, 3), 1, "purchase", '{"k": 7}'),
+        # u2: purchase BEFORE click -> stage stops at 2
+        (4, ts(5, 1), 2, "view", None),
+        (5, ts(5, 2), 2, "purchase", '{"k": 1}'),
+        (6, ts(5, 3), 2, "click", 'not json'),
+        # u3: click with no view -> stage 0? no: no view -> stage 0
+        (7, ts(6, 1), 3, "click", '{"k": 11}'),
+        # u4: view only, second week cohort
+        (8, ts(13, 1), 4, "view", '{"nope": 1}'),
+        # u5: simultaneous-ish strict ordering (click == view ts -> excluded)
+        (9, ts(7, 1), 5, "view", '{"k": 2}'),
+        (10, ts(7, 1), 5, "click", '{"k": 2}'),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([r[4] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+
+    def canon(obj):
+        df = obj.to_pandas() if isinstance(obj, (ray.data.Dataset, pa.Table)) else obj
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    def h(d):
+        return hashlib.md5(
+            pd.util.hash_pandas_object(d, index=False).values.tobytes()
+        ).hexdigest()
+
+    osql = Q.oracle_sql()
+    for name in ["event_funnel", "retention_cohorts", "json_props_sum"]:
+        got = canon(Q.queries()[name](sf))
+        want = canon(con.execute(osql[name]).fetch_df())
+        assert len(got) == len(want), name
+        assert list(got.columns) == list(want.columns), name
+        assert h(got) == h(want), name
+    # sanity on the funnel semantics themselves
+    funnel = Q.queries()["event_funnel"](sf).to_pandas().set_index("user_id")["stage"]
+    assert funnel[1] == 3      # ordered full funnel
+    assert funnel[2] == 2      # purchase precedes click -> not counted
+    assert funnel[3] == 0      # click with no view
+    assert funnel[4] == 1
+    assert funnel[5] == 1      # strict > excludes same-timestamp click
+
+
+def test_embedding_quantize_zero_and_empty(ray_session, tmp_path):
+    """embedding_quantize drops all-zero vectors (no scale) and returns a
+    typed empty frame on an empty table, matching the oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from sievedata import queries as Q
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [1.0, -2.0], [0.5, 0.25]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 0], pa.int32()),
+    }), f"{sf}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+    got = Q.queries()["embedding_quantize"](sf).to_pandas()
+    want = con.execute(Q.oracle_sql()["embedding_quantize"]).fetch_df()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    assert list(got["vec_id"]) == [1, 2]  # zero vector dropped
+    assert got.equals(want[got.columns])
