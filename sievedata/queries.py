@@ -6659,6 +6659,149 @@ GROUP BY 1, 2
 """
 
 
+def q_degree_histogram(sf_dir: str):
+    """Near-dup graph degree distribution (dedup diagnostics): for the
+    exact n-gram Jaccard graph (`ngram_jaccard_pairs`), how many docs have
+    1, 2, … near-dup neighbors — the shape that decides whether clustering
+    is pair-dominated (safe) or star-dominated (template storms).
+
+    Scale shape: edges come from the already-distributed PPJoin Dataset
+    seam; degrees are one narrow groupby over the symmetric edge list
+    (O(edges) rows), the histogram a second groupby over ≤ max-degree
+    rows."""
+    edges = _ngram_pairs_dataset(sf_dir)
+
+    def symmetric(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"doc_id": pa.concat_arrays([a, b])})
+
+    deg = (
+        edges.map_batches(symmetric, batch_format="pyarrow")
+        .groupby("doc_id").count()
+    )
+
+    def to_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"degree": pc.cast(t["count()"], pa.int64())})
+
+    hist = (
+        deg.map_batches(to_deg, batch_format="pyarrow")
+        .groupby("degree").count()
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"degree": pc.cast(t["degree"], pa.int64()),
+                         "n_docs": pc.cast(t["count()"], pa.int64())})
+
+    return hist.map_batches(project, batch_format="pyarrow")
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, list(DISTINCT substr(text, i::INT, 5)) AS grams
+  FROM e GROUP BY doc_id
+),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.grams, b.grams)) AS inter,
+           len(a.grams) AS na, len(b.grams) AS nb
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  )
+  WHERE inter * 5 >= 4 * (na + nb - inter)
+),
+deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT a AS doc_id FROM pairs UNION ALL SELECT b AS doc_id FROM pairs)
+  GROUP BY doc_id)
+SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+"""
+
+
+def q_tokenizer_coverage(sf_dir: str, vocab_k: int = 100):
+    """Vocabulary coverage / OOV audit: fix the vocab to the corpus's
+    top-``vocab_k`` tokens by total frequency (deterministic count-then-
+    token tiebreak), then per doc report total tokens and how many are
+    in-vocab — the OOV-rate table a tokenizer change is judged by.
+
+    Scale shape: the vocab phase reuses the term-partial pattern
+    (vocab-sized per-block (term, n) counts, one narrow groupby, driver
+    keeps only k rows); the probe phase broadcasts the k tokens once and
+    runs an embarrassingly-parallel ``pc.is_in`` count per block."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        split = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(split)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        uniq, cnt = np.unique(np.asarray(flat), return_counts=True)
+        return pa.table({"t": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    vocab_df = (
+        _rp(sf_dir, "documents", ["text"])
+        .map_batches(term_partials, batch_format="pyarrow")
+        .groupby("t").aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "t"], descending=[True, False])
+        .limit(vocab_k)
+        .to_pandas()
+    )
+    if len(vocab_df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "n_in_vocab": pd.Series(dtype="int64")})
+    vocab_ref = ray.put(pa.array(sorted(vocab_df["t"]), pa.string()))
+
+    def probe(t: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        t = t.filter(pc.is_valid(t["text"]))
+        txt = t["text"].combine_chunks()
+        split = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        n = t.num_rows
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+        inv = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+        n_in = np.bincount(parents[inv], minlength=n).astype(np.int64)
+        keep_docs = n_tokens > 0  # docs with no tokens have no coverage row
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                pa.array(keep_docs)),
+            "n_tokens": pa.array(n_tokens[keep_docs]),
+            "n_in_vocab": pa.array(n_in[keep_docs]),
+        })
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        probe, batch_format="pyarrow")
+
+
+SQL_TOKENIZER_COVERAGE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS t
+  FROM documents WHERE text IS NOT NULL),
+v AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS n FROM tok GROUP BY t
+    ORDER BY n DESC, t LIMIT 100))
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN t IN (SELECT t FROM v) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_vocab
+FROM tok GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6752,6 +6895,8 @@ _ORACLE = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "json_props_sum": SQL_JSON_PROPS_SUM,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "tokenizer_coverage": SQL_TOKENIZER_COVERAGE,
 }
 
 _QUERIES = {
@@ -6843,6 +6988,8 @@ _QUERIES = {
     "event_funnel": q_event_funnel,
     "json_props_sum": q_json_props_sum,
     "retention_cohorts": q_retention_cohorts,
+    "degree_histogram": q_degree_histogram,
+    "tokenizer_coverage": q_tokenizer_coverage,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "image_phash_dups": q_image_phash_dups,
