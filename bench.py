@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "event_funnel",
     "embedding_quantize",
     "retention_cohorts",
+    "tokenizer_coverage",
 ]
 
 
