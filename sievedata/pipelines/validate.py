@@ -266,6 +266,14 @@ def _make_per_doc_checks_fn(profiles_ref, bloom_ref, z_threshold: float):
     return check
 
 
+_EMPTY_VIOLATIONS_TABLE = pa.table({
+    "partition_key": pa.array([], pa.string()),
+    "doc_id": pa.array([], pa.string()),
+    "reason_code": pa.array([], pa.string()),
+    "detail": pa.array([], pa.string()),
+})
+
+
 def _per_doc_violations(batch: pa.Table) -> pa.Table:
     """Vectorized per-doc violation rows from stage-1 flags."""
     pk = batch.column("partition_key").to_numpy(zero_copy_only=False)
@@ -349,7 +357,7 @@ def _probe_multis(mix: np.ndarray, multis: np.ndarray) -> np.ndarray:
     return (pos < len(multis)) & (multis[np.minimum(pos, len(multis) - 1)] == mix32)
 
 
-def _make_explode_blocks(n_buckets: int, multis_ref=None):
+def _make_explode_blocks(n_buckets: int, multis_ref=None, emit_viol: bool = True):
     def explode(batch: pa.Table) -> pa.Table:
         """Emit (partition_key, family, block_key, bucket) rows for the dup
         families — the reference's blocking keys (app/retrieval.py:22-29) —
@@ -364,7 +372,7 @@ def _make_explode_blocks(n_buckets: int, multis_ref=None):
 
         multis = ray.get(multis_ref) if multis_ref is not None else None
         outs = []
-        viol = _per_doc_violations(batch)
+        viol = _per_doc_violations(batch) if emit_viol else _EMPTY_VIOLATIONS_TABLE
         if viol.num_rows:
             vb = (hash64(viol.column("doc_id").combine_chunks(), seed=31)
                   % np.uint64(n_buckets)).astype(np.int64)
@@ -792,11 +800,13 @@ def _pad_s2(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def _make_stage2_rows(cfg: "ValidateConfig", multis_ref):
+def _make_stage2_rows(cfg: "ValidateConfig", multis_ref, emit_viol: bool = True):
     """One batch → union of prefiltered block-family rows, per-doc violation
-    passthrough rows, and (if enabled) prefiltered neartext band rows — a
-    single superset schema so one shuffle serves every dup family."""
-    explode = _make_explode_blocks(cfg.n_dup_buckets, multis_ref)
+    passthrough rows (``emit_viol`` — disabled for the history side of an
+    incremental run, whose stage-1 violations were already emitted), and
+    (if enabled) prefiltered neartext band rows — a single superset schema
+    so one shuffle serves every dup family."""
+    explode = _make_explode_blocks(cfg.n_dup_buckets, multis_ref, emit_viol)
     band_rows = _make_neartext_rows(cfg.n_dup_buckets, cfg.neartext_bands)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -935,6 +945,15 @@ def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> 
 
 
 def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
+    """Per-partition verdicts PLUS one combined mergeable-partial row
+    (row_kind='partial', same layout as ``_partition_partials`` output) —
+    the partial row is persisted as ``partials.parquet`` so a later
+    incremental run can merge new partials on top without re-reading
+    history.  Emitting both from the one groupby keeps stage 3 at a single
+    shuffle; combining is the exact work the verdict math does anyway
+    (integer sums, register max), so verdicts are bit-identical whether
+    finalize sees raw partials, the persisted combined row, or a mix."""
+
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         key = g["partition_key"].iloc[0]
         n_docs = int(g["n_docs"].sum())
@@ -993,11 +1012,25 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
             (key, CHECK_UNIQUENESS, bool(ratio >= cfg.uniqueness_min_ratio),
              n_docs, 0, float(ratio), f"hll_invnum={h_inv.cardinality():.1f}")
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             rows,
             columns=["partition_key", "check_name", "passed", "n_docs",
                      "n_violations", "metric", "detail"],
         )
+        out["row_kind"] = "verdict"
+        out["n_eligible"] = 0
+        out["bin_counts"] = [[]] * len(out)
+        out["span_sum"] = 0
+        out["hll_doc_id"] = b""
+        out["hll_invnum"] = b""
+        partial = pd.DataFrame([{
+            "partition_key": key, "check_name": "", "passed": True,
+            "n_docs": n_docs, "n_violations": 0, "metric": 0.0, "detail": "",
+            "row_kind": "partial", "n_eligible": n_elig,
+            "bin_counts": cur_counts.tolist(), "span_sum": span_sum,
+            "hll_doc_id": h_doc.to_sparse(), "hll_invnum": h_inv.to_sparse(),
+        }])
+        return pd.concat([out, partial], ignore_index=True)
 
     return finalize
 
@@ -1023,6 +1056,17 @@ def _stage1_wave_files(path: str, waves: int) -> list[list[str]] | None:
     return [files[i::waves] for i in range(waves)]
 
 
+def _list_parquet_files(path: str) -> list[str]:
+    """Sorted parquet fragments of a directory input (or the file itself)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs if f.endswith(".parquet")
+        )
+    return [path]
+
+
 def validate_documents(
     documents_path: str,
     profiles_path: str,
@@ -1030,11 +1074,27 @@ def validate_documents(
     run_dir: str,
     cfg: ValidateConfig | None = None,
     resume: bool = True,
+    prev_run_dir: str | None = None,
 ) -> dict:
     """Run the full validate pass; returns paths + summary.
 
     Outputs under ``run_dir``: checked/ (narrow per-doc intermediate),
-    violations/ (parquet), verdicts.parquet, manifest.json.
+    violations/ (parquet), verdicts.parquet, partials.parquet (combined
+    mergeable per-partition sketches), vio_counts.parquet, manifest.json.
+
+    With ``prev_run_dir``, runs an INCREMENTAL (append-only delta) pass:
+    only input fragments not listed in the previous run's manifest go
+    through stage 1; duplicate checks read history pruned to the groups the
+    new docs touch (the stage-2a mix filter with the NEW docs' group hashes
+    as the probe set — a false 32-bit collision only ships extra rows, the
+    checker stays exact); drift/uniqueness verdicts merge the previous
+    run's persisted partials with the delta's (integer sums + HLL register
+    max — bit-identical to a full run); violation counts add.  The
+    equivalence contract (tested): with doc_ids append-ordered, the
+    incremental run's violations are exactly the full run's violations on
+    the new docs, and its verdicts/manifest equal the full run's
+    bit-for-bit.  This run's ``violations/`` holds the DELTA only; the
+    manifest's ``checked_dirs`` chain locates history.
     """
     import time
 
@@ -1043,6 +1103,49 @@ def validate_documents(
     cfg = cfg or ValidateConfig()
     timings: dict[str, float] = {}
     t_last = time.perf_counter()
+
+    # ---- incremental setup ------------------------------------------------
+    inc = prev_run_dir is not None
+    prev_checked_dirs: list[str] = []
+    new_files: list[str] | None = None
+    prev_manifest: dict = {}
+    all_rel_files: list[str] = []
+    if inc:
+        with open(os.path.join(prev_run_dir, "manifest.json")) as f:
+            prev_manifest = json.load(f)
+        lin = prev_manifest.get("lineage", {})
+        if "input_files" not in lin:
+            raise ValueError(
+                "incremental validate needs a previous run whose manifest "
+                "records lineage.input_files (re-run the base once with this "
+                "engine version)")
+        prev_cfg = lin.get("config", {})
+        cur_cfg = {
+            "z_threshold": cfg.z_threshold, "po_pct_tol": cfg.po_pct_tol,
+            "po_window_days": cfg.po_window_days,
+            "psi_threshold": cfg.psi_threshold,
+            "uniqueness_min_ratio": cfg.uniqueness_min_ratio,
+        }
+        if prev_cfg != cur_cfg:
+            raise ValueError(
+                f"incremental validate config mismatch vs previous run: "
+                f"{prev_cfg} != {cur_cfg}")
+        prev_files = set(lin["input_files"])
+        cur_files = _list_parquet_files(documents_path)
+        rel = {os.path.relpath(f, documents_path): f for f in cur_files}
+        missing = prev_files - set(rel)
+        if missing:
+            raise ValueError(
+                f"append-only contract broken: {len(missing)} previous input "
+                f"fragments vanished, e.g. {sorted(missing)[:3]}")
+        new_files = [rel[r] for r in sorted(set(rel) - prev_files)]
+        all_rel_files = sorted(set(rel))
+        prev_checked_dirs = list(lin.get("checked_dirs", []))
+    else:
+        all_rel_files = sorted(
+            os.path.relpath(f, documents_path)
+            for f in _list_parquet_files(documents_path)
+        ) if (os.path.isdir(documents_path) or documents_path.endswith(".parquet")) else []
 
     def _mark(name: str) -> None:
         nonlocal t_last
@@ -1057,6 +1160,19 @@ def validate_documents(
     manifest_path = os.path.join(run_dir, "manifest.json")
 
     prof_df = pq.read_table(profiles_path).to_pandas()
+    if inc:
+        if not os.path.isdir(documents_path):
+            raise ValueError(
+                "incremental validate requires a parquet DIRECTORY input "
+                "(append-only fragments)")
+        prev_pv = prev_manifest.get("lineage", {}).get("profile_version")
+        cur_pv = str(prof_df["profile_version"].iloc[0]) if len(prof_df) else None
+        if prev_pv != cur_pv:
+            raise ValueError(
+                f"incremental validate profile mismatch: previous run used "
+                f"profile_version={prev_pv}, current profiles are {cur_pv} — "
+                f"drift-bin edges must be identical for partial merges; "
+                f"run a full validate instead")
     profile_stats = {
         r["partition_key"]: (float(r["mean_total"]), float(r["std_total"]), int(r["sample_count"]))
         for _, r in prof_df.iterrows()
@@ -1096,9 +1212,24 @@ def validate_documents(
             # crosses a block boundary.
             return checks_fn(parse_documents_batch(batch))
 
-        waves = _stage1_wave_files(documents_path, cfg.stage1_waves)
-        if waves is None:
-            checked = read_documents(documents_path).map_batches(
+        if inc:
+            # incremental: only the delta fragments go through stage 1
+            waves = (None if cfg.stage1_waves <= 1 or len(new_files) < 2
+                     else [new_files[i::min(cfg.stage1_waves, len(new_files))]
+                           for i in range(min(cfg.stage1_waves, len(new_files)))])
+        else:
+            waves = _stage1_wave_files(documents_path, cfg.stage1_waves)
+        if inc and not new_files:
+            # nothing new: commit an empty checked stage (no fragment — the
+            # chain skips it) so resume/chain bookkeeping stays uniform
+            os.makedirs(checked_dir, exist_ok=True)
+            with open(os.path.join(checked_dir, _SUCCESS_MARKER), "w") as f:
+                f.write("")
+        elif waves is None:
+            import ray.data as rd
+
+            src = rd.read_parquet(new_files) if inc else read_documents(documents_path)
+            checked = src.map_batches(
                 _parse_and_check, batch_format="pyarrow")
             with commit_dir(checked_dir) as tmp:
                 # NO min_rows_per_file here: write-side file coalescing fuses
@@ -1140,8 +1271,93 @@ def validate_documents(
     # Stages 2 and 3 both read the narrow intermediate (column-pruned).
     # They run SEQUENTIALLY: two concurrently-executing Datasets contend for
     # the same CPU pool and thrash (measured 2× slower than back-to-back).
+    checked_chain = prev_checked_dirs + ([checked_dir] if not inc or new_files else [])
+
     def _stage2_violations() -> None:
+        import ray.data as rd
+
         if resume and stage_done(violations_dir):
+            return
+        if inc and not new_files:
+            with commit_dir(violations_dir) as tmp:  # empty delta
+                pq.write_table(pa.table({
+                    "partition_key": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.string()),
+                    "reason_code": pa.array([], pa.string()),
+                    "detail": pa.array([], pa.string()),
+                }), os.path.join(tmp, "part-0.parquet"))
+            _mark("stage2a_prefilter")
+            return
+        if inc:
+            # incremental pass A: the probe set is EVERY distinct group hash
+            # of the NEW docs (not just multis — a singleton new doc may
+            # collide with history); pass B then reads the whole checked
+            # chain but ships only rows whose group the delta touches.
+            mix_cols = ["partition_key", "eligible", "invnum_norm",
+                        "pdf_hash", "po_number"]
+            if cfg.neartext:
+                mix_cols.append("neartext_sig")
+            mix_ds = (
+                rd.read_parquet(checked_dir, columns=mix_cols)
+                .map_batches(_make_stage2_mix_partials(cfg),
+                             batch_format="pyarrow")
+                .materialize()
+            )
+            multis_ref = None
+            if mix_ds.count() <= cfg.broadcast_max_rows:
+                multis_ref = ray.put(np.unique(
+                    mix_ds.to_pandas()["mix"].to_numpy().view(np.uint32)))
+            # over the guard: delta ≈ corpus → run pass B unfiltered
+            _mark("stage2a_prefilter")
+            rows = rd.read_parquet(
+                checked_dir, columns=CHECKED_COLUMNS
+            ).map_batches(
+                _make_stage2_rows(cfg, multis_ref), batch_format="pyarrow")
+            hist_files = [f for d in prev_checked_dirs
+                          for f in _list_parquet_files(d)]
+            if hist_files:
+                # history side: block/band rows only (mix-filtered to the
+                # groups the delta touches); its stage-1 violations were
+                # already emitted by the runs that produced them
+                rows = rows.union(
+                    rd.read_parquet(
+                        hist_files, columns=CHECKED_COLUMNS
+                    ).map_batches(
+                        _make_stage2_rows(cfg, multis_ref, emit_viol=False),
+                        batch_format="pyarrow"))
+            violations = (
+                rows
+                .groupby("bucket")
+                .map_groups(_make_stage2_checker(cfg), batch_format="pandas")
+                .groupby("doc_bucket")
+                .map_groups(_stage2_final, batch_format="pandas")
+                .map_batches(_pin_violation_schema, batch_format="pyarrow")
+            )
+            # keep only NEW docs' violations: history rows re-flag inside
+            # touched groups (they are never "first"), but those violations
+            # were already emitted by the runs that introduced them
+            new_ids_ds = rd.read_parquet(checked_dir, columns=["doc_id"])
+            if new_ids_ds.count() <= cfg.broadcast_max_rows:
+                ids_ref = ray.put(np.sort(
+                    new_ids_ds.to_pandas()["doc_id"].to_numpy().astype(str)))
+
+                def keep_new(t: pa.Table) -> pa.Table:
+                    ids = ray.get(ids_ref)
+                    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(str)
+                    if not len(ids):
+                        return t.slice(0, 0)
+                    pos = np.clip(np.searchsorted(ids, d), 0, len(ids) - 1)
+                    return t.filter(pa.array(ids[pos] == d))
+
+                violations = violations.map_batches(
+                    keep_new, batch_format="pyarrow")
+            else:  # delta too large to broadcast: exact hash semi-join
+                violations = violations.join(
+                    new_ids_ds, join_type="inner",
+                    num_partitions=max(n_cpus // 2, 8), on=("doc_id",),
+                ).map_batches(_pin_violation_schema, batch_format="pyarrow")
+            with commit_dir(violations_dir) as tmp:
+                violations.write_parquet(tmp)
             return
         # pass A (prefilter): ONE narrow shuffle of the 8-byte group hashes
         # across ALL dup keyings (3 exact block families + neartext bands)
@@ -1206,12 +1422,30 @@ def validate_documents(
             violations.write_parquet(tmp)
 
     def _stage3_verdicts() -> pd.DataFrame:
-        return (
-            read_documents(
-                checked_dir,
-                columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible", "n_spans"],
+        import ray.data as rd
+
+        if inc and not new_files:
+            partials_ds = rd.from_arrow(
+                pq.read_table(os.path.join(prev_run_dir, "partials.parquet")))
+        else:
+            partials_ds = (
+                read_documents(
+                    checked_dir,
+                    columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible", "n_spans"],
+                )
+                .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
             )
-            .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
+            if inc:
+                # merge-don't-recompute: the previous run's combined partials
+                # are one more partial row per partition in the SAME groupby
+                # (integer sums + HLL register max are associative, so the
+                # merged verdict is bit-identical to a from-scratch full run)
+                prev_pt = pq.read_table(
+                    os.path.join(prev_run_dir, "partials.parquet"))
+                if prev_pt.num_rows:
+                    partials_ds = partials_ds.union(rd.from_arrow(prev_pt))
+        return (
+            partials_ds
             .groupby("partition_key")
             .map_groups(_make_partition_finalizer(profile_map, cfg), batch_format="pandas")
             .to_pandas()
@@ -1219,7 +1453,24 @@ def validate_documents(
 
     _stage2_violations()
     _mark("stage2_violations")
-    part_verdicts = _stage3_verdicts()
+    stage3_rows = _stage3_verdicts()
+    partials_out = stage3_rows[stage3_rows["row_kind"] == "partial"]
+    part_verdicts = stage3_rows[stage3_rows["row_kind"] == "verdict"].drop(
+        columns=["row_kind", "n_eligible", "bin_counts", "span_sum",
+                 "hll_doc_id", "hll_invnum"]).reset_index(drop=True)
+    pq.write_table(
+        pa.table({
+            "partition_key": pa.array(partials_out["partition_key"], pa.string()),
+            "n_docs": pa.array(partials_out["n_docs"].astype("int64")),
+            "n_eligible": pa.array(partials_out["n_eligible"].astype("int64")),
+            "bin_counts": pa.array(list(partials_out["bin_counts"]),
+                                   pa.list_(pa.int64())),
+            "span_sum": pa.array(partials_out["span_sum"].astype("int64")),
+            "hll_doc_id": pa.array(list(partials_out["hll_doc_id"]), pa.binary()),
+            "hll_invnum": pa.array(list(partials_out["hll_invnum"]), pa.binary()),
+        }),
+        os.path.join(run_dir, "partials.parquet"),
+    )
     _mark("stage3_partials")
 
     # Stage 4: assemble verdicts per (partition, check) from violation
@@ -1251,6 +1502,24 @@ def validate_documents(
             .count()
             .to_pandas()
         )
+    if inc:
+        # delta counts + the previous run's persisted totals (violations/
+        # holds only NEW docs' rows, so the sum equals a full-run count)
+        prev_vc = pq.read_table(
+            os.path.join(prev_run_dir, "vio_counts.parquet")).to_pandas()
+        vio_counts = (
+            pd.concat([vio_counts, prev_vc], ignore_index=True)
+            .groupby(["partition_key", "reason_code"], sort=False)["count()"]
+            .sum().reset_index()
+        )
+    pq.write_table(
+        pa.table({
+            "partition_key": pa.array(vio_counts["partition_key"], pa.string()),
+            "reason_code": pa.array(vio_counts["reason_code"], pa.string()),
+            "count()": pa.array(vio_counts["count()"].astype("int64")),
+        }),
+        os.path.join(run_dir, "vio_counts.parquet"),
+    )
     n_docs_by_pk = part_verdicts.groupby("partition_key")["n_docs"].max().to_dict()
     check_of_reason = {
         REASON_MISSING_FIELD: CHECK_SCHEMA,
@@ -1294,6 +1563,9 @@ def validate_documents(
             "profiles_path": profiles_path,
             "profile_version": str(prof_df["profile_version"].iloc[0]) if len(prof_df) else None,
             "engine_version": "0.1.0",
+            "input_files": all_rel_files,
+            "checked_dirs": checked_chain,
+            "prev_run_dir": prev_run_dir,
             "config": {
                 "z_threshold": cfg.z_threshold,
                 "po_pct_tol": cfg.po_pct_tol,
@@ -1327,4 +1599,6 @@ def validate_documents(
         "manifest": manifest_path,
         "n_violations": n_violations_total,
         "n_partitions": len(n_docs_by_pk),
+        "incremental": inc,
+        "n_new_files": len(new_files) if inc else None,
     }

@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--bloom", required=True)
     sv.add_argument("--run-dir", required=True)
     sv.add_argument("--no-resume", action="store_true")
+    sv.add_argument("--prev-run", default=None,
+                    help="previous validate run_dir: run an INCREMENTAL "
+                         "(append-only delta) pass — only new input "
+                         "fragments are scanned, dup checks probe history "
+                         "pruned to touched groups, verdicts merge the "
+                         "previous run's persisted sketch partials")
     sv.add_argument("--stage1-waves", type=int, default=1,
                     help="intra-stage checkpoint granularity for the parse+"
                          "check scan: >1 partitions the input fragments into "
@@ -105,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             out = validate_documents(
                 args.input, args.profiles, args.bloom, args.run_dir,
                 cfg=vcfg, resume=not args.no_resume,
+                prev_run_dir=args.prev_run,
             )
         elif args.cmd == "score":
             from sievedata.pipelines.score import ScoreConfig, score_documents

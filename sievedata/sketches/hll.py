@@ -71,6 +71,14 @@ class HyperLogLog:
         nz = np.flatnonzero(tmp.registers)
         return (nz.astype("<u2").tobytes() + tmp.registers[nz].tobytes())
 
+    def to_sparse(self) -> bytes:
+        """Re-serialize CURRENT registers in the sparse-partial layout, so a
+        merged sketch can be persisted and later merged again with
+        :meth:`merge_sparse` (incremental-validation chains).  Bit-exact:
+        register max is idempotent, so sparse→merge→sparse round-trips."""
+        nz = np.flatnonzero(self.registers)
+        return (nz.astype("<u2").tobytes() + self.registers[nz].tobytes())
+
     def merge_sparse(self, blob: bytes) -> "HyperLogLog":
         k = len(blob) // 3
         if k:
