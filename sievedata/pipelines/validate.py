@@ -1318,10 +1318,14 @@ def validate_documents(
             if hist_files:
                 # history side: block/band rows only (mix-filtered to the
                 # groups the delta touches); its stage-1 violations were
-                # already emitted by the runs that produced them
+                # already emitted by the runs that produced them, so the
+                # per-doc flag columns never leave storage on this side
+                hist_cols = [c for c in CHECKED_COLUMNS if c not in
+                             ("bank_change", "amount_z", "is_outlier",
+                              "n_spans")]
                 rows = rows.union(
                     rd.read_parquet(
-                        hist_files, columns=CHECKED_COLUMNS
+                        hist_files, columns=hist_cols
                     ).map_batches(
                         _make_stage2_rows(cfg, multis_ref, emit_viol=False),
                         batch_format="pyarrow"))
