@@ -139,6 +139,49 @@ class LangId:
             "lang_pred", pa.array(preds.tolist(), pa.string()))
 
 
+def utf8_codepoints(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized UTF-8 → codepoint decode for a string Array (no nulls):
+    returns (char_parent_row, codepoints, chars_per_row).  Pure numpy — a
+    left-fold over the ≤ 4 byte positions within each character — so the
+    hot path stays loop-free over rows and bytes."""
+    flat = arr.cast(pa.large_binary())
+    n_rows = len(flat)
+    if n_rows == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int64)[
+        flat.offset: flat.offset + n_rows + 1]
+    data = flat.buffers()[2]
+    buf = (np.frombuffer(data, dtype=np.uint8)[offs[0]:offs[-1]]
+           if data is not None else np.empty(0, np.uint8))
+    if buf.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(n_rows, np.int64))
+    lens = offs[1:] - offs[:-1]
+    byte_parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    is_lead = (buf & 0xC0) != 0x80
+    char_id = np.cumsum(is_lead) - 1           # global char index per byte
+    n_chars = int(char_id[-1]) + 1
+    b = buf.astype(np.int64)
+    lead_val = np.where(b < 0x80, b,
+               np.where(b >= 0xF0, b & 0x07,
+               np.where(b >= 0xE0, b & 0x0F, b & 0x1F)))
+    # byte position within its character: global byte index − lead index
+    lead_byte_idx = np.flatnonzero(is_lead)
+    within = np.arange(buf.size, dtype=np.int64) - lead_byte_idx[char_id]
+    cp = np.zeros(n_chars, dtype=np.int64)
+    for p in range(4):
+        sel = within == p
+        if not sel.any():
+            break
+        ids = char_id[sel]
+        v = lead_val[sel] if p == 0 else (b[sel] & 0x3F)
+        cp[ids] = (cp[ids] * 64 if p else 0) + v
+    char_parent = byte_parent[lead_byte_idx]
+    chars_per_row = np.bincount(char_parent, minlength=n_rows).astype(np.int64)
+    return char_parent, cp, chars_per_row
+
+
 def fingerprint_column(text: pa.Array | pa.ChunkedArray, seed: int = 9001) -> pa.Array:
     """64-bit content fingerprint per document (vectorized rolling hash)."""
     h = hash64(text, seed=seed)

@@ -6802,6 +6802,205 @@ FROM tok GROUP BY doc_id
 """
 
 
+def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery pattern: orders whose total exceeds their
+    customer's average order total.  Float averages never cross the gate —
+    the predicate is the cross-multiplied integer-cents comparison
+    ``price_cents · n_orders > sum_cents`` (exactly ⇔ price > avg).
+
+    Scale shape: per-customer (n, Σcents) via per-block integer partials
+    and one narrow groupby; the predicate pass re-reads orders and probes
+    a broadcast (guarded) customer stat table — or one hash join past the
+    guard."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "o_custkey": pa.array(uniq),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(uniq)).astype(np.int64)),
+        })
+
+    stats = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .materialize()
+    )
+    stats = _drop_empty_blocks(stats) or stats
+    out_cols = ("o_orderkey", "o_custkey", "o_totalprice")
+
+    if stats.count() <= BROADCAST_MAX_ROWS:
+        sdf = stats.to_pandas()
+        order = np.argsort(sdf["o_custkey"].to_numpy())
+        stats_ref = ray.put((
+            sdf["o_custkey"].to_numpy()[order].astype(np.int64),
+            sdf["n"].to_numpy()[order].astype(np.int64),
+            sdf["s"].to_numpy()[order].astype(np.int64),
+        ))
+
+        def above(t: pa.Table) -> pa.Table:
+            keys, n, s = ray.get(stats_ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.round(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            pos = np.searchsorted(keys, ck)
+            keep = cents * n[pos] > s[pos]  # price > avg, integer-exact
+            return t.select(list(out_cols)).filter(pa.array(keep))
+
+        return _rp(sf_dir, "orders", list(out_cols)).map_batches(
+            above, batch_format="pyarrow")
+
+    def above_joined(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.select(list(out_cols)).filter(pa.array(cents * n > s))
+
+    return (
+        _rp(sf_dir, "orders", list(out_cols))
+        .join(stats, join_type="inner", num_partitions=8, on=("o_custkey",))
+        .map_batches(above_joined, batch_format="pyarrow")
+    )
+
+
+SQL_ABOVE_AVG_ORDERS = """
+WITH s AS (
+  SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN s USING (o_custkey)
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * s.n > s.s
+"""
+
+
+def q_orders_per_weekday(sf_dir: str):
+    """Date-part aggregate: order counts and integer-cents revenue per ISO
+    weekday.  The weekday is pure epoch-day arithmetic
+    (``(day + 3) mod 7 + 1`` with Monday = 1, matching DuckDB's
+    isodow), so no date library crosses the gate.
+
+    Scale shape: ≤ 7-row per-block integer partials, one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = micros // 86_400_000_000
+        dow = (days + 3) % 7 + 1  # 1970-01-01 = Thursday; Monday = 1
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uniq, inv = np.unique(dow, return_inverse=True)
+        return pa.table({
+            "weekday": pa.array(uniq),
+            "n_orders": pa.array(np.bincount(inv, minlength=len(uniq))
+                                 .astype(np.int64)),
+            "revenue_cents": pa.array(np.bincount(inv, weights=cents,
+                                                  minlength=len(uniq))
+                                      .astype(np.int64)),
+        })
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "weekday": pc.cast(t["weekday"], pa.int64()),
+            "n_orders": pc.cast(t["sum(n_orders)"], pa.int64()),
+            "revenue_cents": pc.cast(t["sum(revenue_cents)"], pa.int64()),
+        })
+
+    return (
+        _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("weekday")
+        .aggregate(Sum("n_orders", alias_name="sum(n_orders)"),
+                   Sum("revenue_cents", alias_name="sum(revenue_cents)"))
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+SQL_ORDERS_PER_WEEKDAY = """
+SELECT CAST(isodow(o_orderdate) AS BIGINT) AS weekday,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders GROUP BY 1
+"""
+
+
+def q_char_concentration(sf_dir: str, threshold_ppm: int = 80_000):
+    """Character-concentration spam signal: per doc, the Simpson-index
+    numerator Σ c_i² over CHARACTER counts, reported as parts-per-million
+    of its maximum n² (1e6 = one repeated character — the classic
+    keyboard-mash / padding detector).  Integer arithmetic end to end;
+    flags docs at or above ``threshold_ppm``.
+
+    Scale shape: one embarrassingly-parallel pass; per batch the character
+    counts come from the vectorized UTF-8 codepoint kernel
+    (functions/text.py::utf8_codepoints — a ≤4-step byte-position fold, no
+    per-row python) and ONE np.unique over (row << 21 | codepoint) keys
+    (codepoints ≤ 0x10FFFF fit 21 bits exactly)."""
+    from sievedata.functions.text import utf8_codepoints
+
+    def conc(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        txt = t["text"].combine_chunks()
+        n_rows = len(txt)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "conc_ppm": pa.array([], pa.int64())})
+        if n_rows == 0:
+            return empty
+        parent, cp, n_chars = utf8_codepoints(txt)
+        if parent.size == 0:
+            return empty
+        key = (parent << np.int64(21)) | cp
+        uk, cnt = np.unique(key, return_counts=True)
+        # Σc² per doc (cnt < 2^21 ⇒ the float64 accumulation is exact)
+        ss = np.bincount(uk >> np.int64(21),
+                         weights=cnt.astype(np.float64) ** 2,
+                         minlength=n_rows).astype(np.int64)
+        keep = n_chars > 0
+        n2 = n_chars.astype(np.int64) ** 2
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.zeros(n_rows, dtype=np.int64)
+        ppm[keep] = ss[keep] * 1_000_000 // n2[keep]
+        sel = keep & (ppm >= threshold_ppm)
+        return pa.table({"doc_id": pa.array(ids[sel]),
+                         "conc_ppm": pa.array(ppm[sel])})
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        conc, batch_format="pyarrow")
+
+
+SQL_CHAR_CONCENTRATION = """
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+c AS (
+  SELECT doc_id, any_value(n) AS n, count(*) AS cnt
+  FROM (SELECT doc_id, n, substr(text, i::INT, 1) AS ch FROM pos)
+  GROUP BY doc_id, ch)
+SELECT doc_id,
+       CAST(sum(cnt * cnt) * 1000000 // (any_value(n) * any_value(n))
+            AS BIGINT) AS conc_ppm
+FROM c GROUP BY doc_id
+HAVING CAST(sum(cnt * cnt) * 1000000 // (any_value(n) * any_value(n))
+            AS BIGINT) >= 80000
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6897,6 +7096,9 @@ _ORACLE = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,
     "tokenizer_coverage": SQL_TOKENIZER_COVERAGE,
+    "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
+    "orders_per_weekday": SQL_ORDERS_PER_WEEKDAY,
+    "char_concentration": SQL_CHAR_CONCENTRATION,
 }
 
 _QUERIES = {
@@ -6990,6 +7192,9 @@ _QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "degree_histogram": q_degree_histogram,
     "tokenizer_coverage": q_tokenizer_coverage,
+    "above_avg_orders": q_above_avg_orders,
+    "orders_per_weekday": q_orders_per_weekday,
+    "char_concentration": q_char_concentration,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "image_phash_dups": q_image_phash_dups,
