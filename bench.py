@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "retention_cohorts",
     "tokenizer_coverage",
+    "char_concentration",
+    "above_avg_orders",
 ]
 
 
