@@ -367,6 +367,12 @@ class PairScorer:
         out_rows: list[tuple] = []
         if not len(df):
             return _EMPTY_PAIRS
+        # history rows (incremental scoring): full CANDIDATE members of
+        # their block groups, but never anchors — their own decisions were
+        # produced by the runs that scored them
+        hist_ids: set = set()
+        if "is_hist" in df.columns:
+            hist_ids = set(df.loc[df["is_hist"].astype(bool), "doc_id"])
         # prep each unique doc ONCE per bucket: docs repeat across their
         # exploded (family, block_key) rows (~4 families + LSH bands each)
         prepped = {
@@ -418,6 +424,8 @@ class PairScorer:
             ]
             w = self.per_doc_window
             for i, a in enumerate(docs):
+                if ids[i] in hist_ids:  # candidates only, never anchors
+                    continue
                 lo = max(0, i - w) if w is not None else 0
                 hi = min(len(docs), i + w + 1) if w is not None else len(docs)
                 a_up, a_qty = a["up_arr"], a["qty_arr"]
@@ -813,6 +821,9 @@ def _decision_counts(decisions_dir: str) -> dict:
     }
 
 
+_HIST_KEY_BROADCAST_MAX = 2_000_000
+
+
 def score_documents(
     documents_path: str,
     profiles_path: str,
@@ -820,8 +831,21 @@ def score_documents(
     run_dir: str,
     cfg: ScoreConfig | None = None,
     resume: bool = True,
+    history_path: str | None = None,
 ) -> dict:
-    """Run the batch scoring pipeline; writes decisions/ parquet + summary."""
+    """Run the batch scoring pipeline; writes decisions/ parquet + summary.
+
+    With ``history_path`` (incremental scoring — the reference's actual
+    production shape: tonight's batch scored against the full invoice
+    store), only ``documents_path`` docs receive decisions; history docs
+    join their block groups as CANDIDATES only.  History is pruned before
+    the shuffle to groups the delta touches (the delta's group-key hash
+    set, broadcast under a guard — unfiltered fallback stays correct), so
+    the exchange carries O(delta + touched-history) rows, never the store.
+    Equivalence (tested): with doc_ids append-ordered, the delta run's
+    decisions byte-match a full run's decisions restricted to the delta
+    docs — group membership, the sorted per-group cap, and every pair
+    feature are identical."""
     import pyarrow.parquet as pq
     import ray
 
@@ -867,18 +891,71 @@ def score_documents(
     # passthrough family, and the per-doc reduce + finalize share one
     # doc_bucket shuffle (VERDICT r2 'What's wrong' #5: the old plan scanned
     # and parsed the wide input twice and shuffled doc-keyed rows twice)
-    decisions = (
-        read_documents(documents_path)
-        .map_batches(
-            # parse + explode fused in ONE UDF: re-batching the wide parsed
-            # blocks across a second map_batches boundary measured 2-3× the
-            # stage CPU in the identical validate stage-1 shape
-            lambda b: _explode_candidates(
-                score_parse_batch(b), cfg.n_buckets, neartext=cfg.neartext,
-                neartext_bands=cfg.neartext_bands, emit_base=True,
-            ),
-            batch_format="pyarrow",
+    def _delta_explode(b: pa.Table) -> pa.Table:
+        # parse + explode fused in ONE UDF: re-batching the wide parsed
+        # blocks across a second map_batches boundary measured 2-3× the
+        # stage CPU in the identical validate stage-1 shape
+        t = _explode_candidates(
+            score_parse_batch(b), cfg.n_buckets, neartext=cfg.neartext,
+            neartext_bands=cfg.neartext_bands, emit_base=True,
         )
+        if history_path is not None:
+            t = t.append_column(
+                "is_hist", pa.array(np.zeros(t.num_rows, dtype=bool)))
+        return t
+
+    src = read_documents(documents_path).map_batches(
+        _delta_explode, batch_format="pyarrow")
+
+    if history_path is not None:
+        from sievedata.sketches.hashing import hash64 as _h64
+
+        def _group_hash(t: pa.Table) -> np.ndarray:
+            combined = pc.binary_join_element_wise(
+                t["partition_key"].combine_chunks().cast(pa.string()),
+                t["family"].combine_chunks(),
+                t["block_key"].combine_chunks(), "\x1f")
+            return _h64(combined, seed=59)
+
+        def _delta_keys(b: pa.Table) -> pa.Table:
+            t = _explode_candidates(
+                score_parse_batch(b), cfg.n_buckets, neartext=cfg.neartext,
+                neartext_bands=cfg.neartext_bands, emit_base=False,
+            )
+            if t.num_rows == 0:
+                return pa.table({"kh": pa.array([], pa.int64())})
+            return pa.table({"kh": pa.array(
+                np.unique(_group_hash(t)).view(np.int64))})
+
+        keys_ds = read_documents(documents_path).map_batches(
+            _delta_keys, batch_format="pyarrow").materialize()
+        keys_ref = None
+        if keys_ds.count() <= _HIST_KEY_BROADCAST_MAX:
+            keys_ref = ray.put(np.unique(
+                keys_ds.to_pandas()["kh"].to_numpy().view(np.uint64)))
+        # over the guard: delta ≈ store → ship history unfiltered (correct)
+
+        def _hist_explode(b: pa.Table) -> pa.Table:
+            t = _explode_candidates(
+                score_parse_batch(b), cfg.n_buckets, neartext=cfg.neartext,
+                neartext_bands=cfg.neartext_bands, emit_base=False,
+            )
+            if t.num_rows and keys_ref is not None:
+                keys = ray.get(keys_ref)
+                h = _group_hash(t)
+                if len(keys):
+                    pos = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
+                    t = t.filter(pa.array(keys[pos] == h))
+                else:
+                    t = t.slice(0, 0)
+            return t.append_column(
+                "is_hist", pa.array(np.ones(t.num_rows, dtype=bool)))
+
+        src = src.union(read_documents(history_path).map_batches(
+            _hist_explode, batch_format="pyarrow"))
+
+    decisions = (
+        src
         .groupby("bucket")
         .map_groups(
             _make_pair_scorer_with_base_fn(cfg.block_group_cap, cfg.per_doc_window),

@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
 
     ss = sub.add_parser("score")
     ss.add_argument("--input", required=True)
+    ss.add_argument("--history", default=None,
+                    help="existing invoice-store path: score ONLY --input "
+                         "docs, with history docs as candidates (pruned to "
+                         "the groups the delta touches)")
     ss.add_argument("--profiles", required=True)
     ss.add_argument("--bloom", required=True)
     ss.add_argument("--run-dir", required=True)
@@ -124,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
             out = score_documents(
                 args.input, args.profiles, args.bloom, args.run_dir,
                 cfg=cfg, resume=not args.no_resume,
+                history_path=args.history,
             )
         elif args.cmd == "dedup":
             from sievedata.pipelines.dedup import dedup_corpus
