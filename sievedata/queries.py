@@ -6361,36 +6361,30 @@ def q_dup_ratio_by_source(sf_dir: str):
     another doc from the same source (n_docs − distinct texts) — the
     curation metric that decides which hosts get aggressive dedup.
 
-    Scale shape: distinct-text counting is EXACT and decomposes over
-    text-hash buckets (equal texts always share a bucket, so within-bucket
-    distinct counts are additive): one cogroup shuffle of (source, text)
-    bucketed by hash64(text), per-bucket vectorized drop_duplicates, then
-    a source-keyed integer sum; per-source totals ride a separate narrow
-    partial — the text column crosses the wire exactly once."""
+    Scale shape: distinct-text counting is EXACT via a NATIVE
+    (source, text) hash aggregate — per-block Arrow group_by pre-dedup
+    combiner, one shuffle of the deduped (source, text) rows, then a
+    source-keyed integer sum; no pandas group ever materializes a corpus
+    fraction and the text column crosses the wire exactly once."""
     from ray.data.aggregate import Sum
 
-    from sievedata.sketches.hashing import hash64
-
-    n_buckets = 128
-
-    def bucketed(t: pa.Table) -> pa.Table:
+    def block_dedup(t: pa.Table) -> pa.Table:
+        # per-block (source, text) pre-dedup combiner before the shuffle
         t = t.filter(pc.is_valid(t["text"]))
-        txt = t["text"].combine_chunks()
-        b = (hash64(txt) % np.uint64(n_buckets)).astype(np.int64)
-        return pa.table({"source": t["source"], "text": txt,
-                         "bucket": pa.array(b)})
+        return t.group_by(["source", "text"]).aggregate([])
 
-    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["source", "text"])
-        g = d.groupby("source", sort=False).size()
-        return pd.DataFrame({"source": g.index.to_numpy(),
-                             "n_distinct": g.to_numpy().astype(np.int64)})
+    def src_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"],
+                         "n_distinct": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
 
+    # NATIVE (source, text) hash aggregate — exact distinct with no pandas
+    # group ever holding a corpus fraction; the text column shuffles once
     distinct = (
         _rp(sf_dir, "documents", ["source", "text"])
-        .map_batches(bucketed, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(distinct_partial, batch_format="pandas")
+        .map_batches(block_dedup, batch_format="pyarrow")
+        .groupby(["source", "text"]).count()
+        .map_batches(src_rows, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("n_distinct", alias_name="nd"))
     )
@@ -6450,7 +6444,7 @@ def q_event_funnel(sf_dir: str):
     microsecond-integer timestamps — vectorized across all users in the
     bucket, no per-user loop, and timestamp comparisons are integer-exact
     so the oracle agrees bit-for-bit."""
-    n_buckets = 64
+    n_buckets = 1024  # a bucket holds ~1/1024 of users — never one group
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -6627,20 +6621,25 @@ def q_retention_cohorts(sf_dir: str):
             "user_id": pa.array(key[:, 2]),
         })
 
-    def count_users(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop_duplicates(["cohort_day", "week_offset", "user_id"])
-        out = (g.groupby(["cohort_day", "week_offset"], sort=False)
-               .size().reset_index(name="n_users"))
-        out["n_users"] = out["n_users"].astype(np.int64)
-        return out
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"cohort_day": pc.cast(t["cohort_day"], pa.int64()),
+                         "week_offset": pc.cast(t["week_offset"], pa.int64())})
 
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"cohort_day": pc.cast(t["cohort_day"], pa.int64()),
+                         "week_offset": pc.cast(t["week_offset"], pa.int64()),
+                         "n_users": pc.cast(t["count()"], pa.int64())})
+
+    # two NATIVE hash aggregates (triple-dedup, then pair-count): no
+    # map_groups ever materializes a whole cohort of users in one block
     return (
         ev.join(cohorts, join_type="inner", num_partitions=8,
                 on=("user_id",))
         .map_batches(triples, batch_format="pyarrow")
-        .groupby(["cohort_day", "week_offset"])
-        .map_groups(count_users, batch_format="pandas")
-        .select_columns(["cohort_day", "week_offset", "n_users"])
+        .groupby(["cohort_day", "week_offset", "user_id"]).count()
+        .map_batches(pair_rows, batch_format="pyarrow")
+        .groupby(["cohort_day", "week_offset"]).count()
+        .map_batches(project, batch_format="pyarrow")
     )
 
 
