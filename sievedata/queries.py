@@ -2933,6 +2933,99 @@ def q_validate_flagship(sf_dir: str):
     )
 
 
+def _incremental_fixture() -> dict:
+    """Cached doc_id-ordered 75/25 split of the flagship fixture (the
+    append-only contract) + a completed BASE validate run over part 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fx = _flagship_fixture(2000, 20)
+    inc = os.path.join(fx["cache"], "inc")
+    hist_dir = os.path.join(inc, "hist")
+    grow_dir = os.path.join(inc, "grow")
+    if not os.path.exists(os.path.join(grow_dir, "part_1.parquet")):
+        os.makedirs(hist_dir, exist_ok=True)
+        os.makedirs(grow_dir, exist_ok=True)
+        t = pq.read_table(fx["documents"])
+        df = t.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        cut = int(len(df) * 0.75)
+        for name, frame in (("part_0.parquet", df.iloc[:cut]),
+                            ("part_1.parquet", df.iloc[cut:])):
+            tbl = pa.Table.from_pandas(frame, preserve_index=False,
+                                       schema=t.schema)
+            pq.write_table(tbl, os.path.join(grow_dir, name))
+        pq.write_table(pa.Table.from_pandas(df.iloc[:cut], preserve_index=False,
+                                            schema=t.schema),
+                       os.path.join(hist_dir, "part_0.parquet"))
+        # base run sees only part 0 of the growing dir
+        os.rename(os.path.join(grow_dir, "part_1.parquet"),
+                  os.path.join(grow_dir, "part_1.parquet.pending"))
+        from sievedata.pipelines.validate import validate_documents
+
+        validate_documents(grow_dir, fx["profiles"], fx["bloom"],
+                           os.path.join(inc, "run_base"), resume=True)
+        os.rename(os.path.join(grow_dir, "part_1.parquet.pending"),
+                  os.path.join(grow_dir, "part_1.parquet"))
+    return {"fx": fx, "inc": inc, "hist": hist_dir, "grow": grow_dir,
+            "base_run": os.path.join(inc, "run_base")}
+
+
+def q_validate_incremental(sf_dir: str):
+    """Append-only DELTA validation (`--prev-run`): the last 25% of the
+    flagship fixture validated against the base run's manifest + persisted
+    sketch partials; returns the delta's violations.  Rows-only: the
+    3-run-chain ≡ full-run byte-equivalence is asserted by
+    tests/test_incremental.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sievedata.pipelines.validate import validate_documents
+
+    fxi = _incremental_fixture()
+    res = validate_documents(
+        fxi["grow"], fxi["fx"]["profiles"], fxi["fx"]["bloom"],
+        os.path.join(fxi["inc"], "run_delta_q"), resume=True,
+        prev_run_dir=fxi["base_run"],
+    )
+    return (
+        pq.read_table(res["violations"]).to_pandas()
+        .sort_values(["partition_key", "doc_id", "reason_code"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_score_incremental(sf_dir: str):
+    """Incremental scoring (`score --history`): the last 25% of the
+    flagship fixture scored with the first 75% as candidate history;
+    returns the delta's decisions.  Rows-only: byte-equivalence with the
+    full run restricted to delta docs is asserted by
+    tests/test_incremental_score.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sievedata.pipelines.score import score_documents
+
+    fxi = _incremental_fixture()
+    delta_dir = os.path.join(fxi["inc"], "delta_only")
+    if not os.path.exists(os.path.join(delta_dir, "part_1.parquet")):
+        os.makedirs(delta_dir, exist_ok=True)
+        os.link(os.path.join(fxi["grow"], "part_1.parquet"),
+                os.path.join(delta_dir, "part_1.parquet"))
+    res = score_documents(
+        delta_dir, fxi["fx"]["profiles"], fxi["fx"]["bloom"],
+        os.path.join(fxi["inc"], "score_delta_q"), resume=True,
+        history_path=fxi["hist"],
+    )
+    return (
+        pq.read_table(res["decisions"]).to_pandas()
+        .sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    )
+
+
 def q_score_flagship(sf_dir: str):
     """Flagship batch duplicate scoring (the reference's /scoreInvoice flow);
     returns the decisions table.  Rows-only: per-vendor exact-match vs the
@@ -7208,6 +7301,8 @@ _QUERIES = {
     "frame_sample": q_frame_sample,
     "validate_flagship": q_validate_flagship,
     "score_flagship": q_score_flagship,
+    "validate_incremental": q_validate_incremental,
+    "score_incremental": q_score_incremental,
 }
 
 
