@@ -3026,6 +3026,48 @@ def q_score_incremental(sf_dir: str):
     )
 
 
+def q_profile_incremental(sf_dir: str):
+    """Incremental profile refresh (the reference's nightly baseline job as
+    a sketch merge): profiles learned from the first 75% of the flagship
+    baseline, refreshed with the last 25% via update_profiles (Chan moment
+    merge, t-digest merge, HLL register max) WITHOUT re-reading history;
+    returns the refreshed per-partition profile stats.  Rows-only:
+    merge-vs-rebuild parity is asserted by the profile tests."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sievedata.pipelines.profile import build_profiles, update_profiles
+
+    fx = _flagship_fixture(2000, 20)
+    inc = os.path.join(fx["cache"], "prof_inc")
+    out_marker = os.path.join(inc, "refreshed", "profiles.parquet")
+    if not os.path.exists(out_marker):
+        os.makedirs(inc, exist_ok=True)
+        t = pq.read_table(os.path.join(fx["cache"], "baseline.parquet"))
+        df = t.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        cut = int(len(df) * 0.75)
+        for name, frame in (("base0.parquet", df.iloc[:cut]),
+                            ("delta.parquet", df.iloc[cut:])):
+            pq.write_table(
+                pa.Table.from_pandas(frame, preserve_index=False,
+                                     schema=t.schema),
+                os.path.join(inc, name))
+        base_prof = build_profiles(
+            os.path.join(inc, "base0.parquet"),
+            os.path.join(fx["cache"], "media_catalog.parquet"),
+            os.path.join(inc, "prof0"))
+        update_profiles(base_prof["profiles"],
+                        os.path.join(inc, "delta.parquet"),
+                        os.path.join(inc, "refreshed"))
+    out = pq.read_table(out_marker).to_pandas()
+    cols = [c for c in ("partition_key", "sample_count", "mean_total",
+                        "std_total", "profile_version") if c in out.columns]
+    return (out[cols].sort_values("partition_key", kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_score_flagship(sf_dir: str):
     """Flagship batch duplicate scoring (the reference's /scoreInvoice flow);
     returns the decisions table.  Rows-only: per-vendor exact-match vs the
@@ -7303,6 +7345,7 @@ _QUERIES = {
     "score_flagship": q_score_flagship,
     "validate_incremental": q_validate_incremental,
     "score_incremental": q_score_incremental,
+    "profile_incremental": q_profile_incremental,
 }
 
 
