@@ -4852,29 +4852,22 @@ def q_dedup_corpus(sf_dir: str):
     pipeline actually runs before tokenization.
 
     All stages are the already-oracle-checked distributed operators
-    (PPJoin edges, min-label propagation); the survivor selection adds one
-    component-size groupby and one hash join, both O(docs) Datasets end to
-    end — no driver-side union-find or keep-set."""
-    comps = q_dedup_components(sf_dir).materialize()  # (doc_id, component)
-    comps = _drop_empty_blocks(comps) or comps
-    sizes = comps.groupby("component").count().materialize()
-    sizes = _drop_empty_blocks(sizes) or sizes
-
-    def only_reps(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["doc_id"], t["component"])
-        return t.filter(keep)
-
-    reps = comps.map_batches(only_reps, batch_format="pyarrow")
-    joined = reps.join(sizes, join_type="inner", num_partitions=8,
-                       on=("component",))
+    (PPJoin edges, min-label propagation); the survivor selection is ONE
+    component-size groupby — the min-label IS a member doc_id, so the
+    (component, size) aggregate already names each survivor and the old
+    reps-filter + hash join were redundant (provably identical output,
+    two exchanges and two materializations fewer)."""
+    comps = q_dedup_components(sf_dir)  # (doc_id, component)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "doc_id": pc.cast(t["component"], pa.int64()),
             "group_size": pc.cast(t["count()"], pa.int64()),
         })
 
-    kept = joined.map_batches(project, batch_format="pyarrow")
+    sizes = comps.groupby("component").count().materialize()
+    sizes = _drop_empty_blocks(sizes) or sizes  # zero-column empty blocks
+    kept = sizes.map_batches(project, batch_format="pyarrow")
 
     def null_text_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_null(t["text"]))
