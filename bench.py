@@ -589,9 +589,98 @@ def run_scaling() -> None:
     print(json.dumps(out))
 
 
+def run_incremental() -> dict:
+    """Delta-vs-full evidence for the incremental modes (`--incremental`):
+    on the cached 5M-doc scaling fixture, a full validate vs an
+    incremental run appending the last ~1% of fragments; on the 41k-doc
+    scoring fixture, a full score vs a ~6% delta scored against the rest
+    as history.  Fresh measurements of what BASELINE.md reports."""
+    import shutil
+
+    import ray
+
+    _prepare_scaling_fixtures()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from sievedata.fixtures import FIXTURE_VERSION
+    from sievedata.pipelines.score import score_documents
+    from sievedata.pipelines.validate import validate_documents
+
+    out: dict = {"metric": "incremental delta vs full run", "num_cpus": NUM_CPUS}
+    _warm_workers()
+
+    v_cache = f"/tmp/sievedata_scaling_v{FIXTURE_VERSION}_{SCALING_DOCS}"
+    docs = os.path.join(v_cache, "documents")
+    prof = os.path.join(v_cache, "profiles")
+    work = f"/tmp/sievedata_incbench_v{FIXTURE_VERSION}"
+    shutil.rmtree(work, ignore_errors=True)
+    grow = os.path.join(work, "vdocs")
+    os.makedirs(grow)
+    parts = sorted(os.listdir(docs))
+    n_hist = len(parts) - max(len(parts) // 100, 1)
+    for p_ in parts[:n_hist]:
+        os.symlink(os.path.join(docs, p_), os.path.join(grow, p_))
+    t0 = time.perf_counter()
+    validate_documents(grow, os.path.join(prof, "profiles.parquet"),
+                       os.path.join(prof, "media_bloom.bin"),
+                       os.path.join(work, "v_base"), resume=False)
+    t_base = time.perf_counter() - t0
+    for p_ in parts[n_hist:]:
+        os.symlink(os.path.join(docs, p_), os.path.join(grow, p_))
+    t0 = time.perf_counter()
+    d = validate_documents(grow, os.path.join(prof, "profiles.parquet"),
+                           os.path.join(prof, "media_bloom.bin"),
+                           os.path.join(work, "v_delta"), resume=False,
+                           prev_run_dir=os.path.join(work, "v_base"))
+    t_delta = time.perf_counter() - t0
+    out["validate"] = {
+        "full_sec": round(t_base, 2), "delta_sec": round(t_delta, 2),
+        "delta_fraction": round(1 - n_hist / len(parts), 4),
+        "speedup": round(t_base / t_delta, 2),
+        "delta_stage_timings": d["timings"],
+    }
+
+    s_cache = f"/tmp/sievedata_scorescale_v{FIXTURE_VERSION}_{SCORE_SCALING_DOCS}"
+    sdocs = os.path.join(s_cache, "documents")
+    sprof = os.path.join(s_cache, "profiles")
+    hist = os.path.join(work, "s_hist")
+    delta = os.path.join(work, "s_delta")
+    os.makedirs(hist)
+    os.makedirs(delta)
+    sparts = sorted(os.listdir(sdocs))
+    sn_hist = len(sparts) - max(len(sparts) // 16, 1)
+    for p_ in sparts[:sn_hist]:
+        os.symlink(os.path.join(sdocs, p_), os.path.join(hist, p_))
+    for p_ in sparts[sn_hist:]:
+        os.symlink(os.path.join(sdocs, p_), os.path.join(delta, p_))
+    t0 = time.perf_counter()
+    full = score_documents(sdocs, os.path.join(sprof, "profiles.parquet"),
+                           os.path.join(sprof, "media_bloom.bin"),
+                           os.path.join(work, "s_full"), resume=False)
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ds = score_documents(delta, os.path.join(sprof, "profiles.parquet"),
+                         os.path.join(sprof, "media_bloom.bin"),
+                         os.path.join(work, "s_deltarun"), resume=False,
+                         history_path=hist)
+    t_d = time.perf_counter() - t0
+    out["score"] = {
+        "full_sec": round(t_full, 2), "delta_sec": round(t_d, 2),
+        "full_docs": full["n_docs"], "delta_docs": ds["n_docs"],
+        "speedup": round(t_full / t_d, 2),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--incremental" in sys.argv:
+        print(json.dumps(run_incremental()))
     elif "--validate-only" in sys.argv:
         print(json.dumps(run_validate_only()))
     elif "--score-only" in sys.argv:

@@ -166,3 +166,36 @@ def test_incremental_guards(inc_env):
             os.path.join(base, "run_badcfg"), resume=False,
             prev_run_dir=os.path.join(base, "run_a"),
             cfg=ValidateConfig(z_threshold=9.9))
+
+
+def test_incremental_with_waves_matches(inc_env):
+    """An incremental delta run with stage-1 waves produces the same
+    verdicts as the already-verified chain (waves only change commit
+    granularity, never results)."""
+    import pyarrow.parquet as pq
+
+    from sievedata.pipelines.validate import ValidateConfig
+
+    prof = inc_env["prof"]
+    base = inc_env["base"]
+    if not os.path.exists(os.path.join(base, "run_c")):
+        pytest.skip("chain test did not run")
+    validate_documents = inc_env["validate"]
+    # one delta of BOTH remaining fragments (grow already holds them) from
+    # run_a, committed in 2 waves — verdicts must equal the full run's
+    run_w = validate_documents(
+        inc_env["grow_dir"], prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_waved"), resume=False,
+        prev_run_dir=os.path.join(base, "run_a"),
+        cfg=ValidateConfig(stage1_waves=2))
+    assert run_w["n_new_files"] == 2
+    pd.testing.assert_frame_equal(
+        _verdicts(run_w["verdicts"]),
+        _verdicts(inc_env["run_full"]["verdicts"]))
+    got = pd.concat([
+        _violations(os.path.join(base, "run_a")),
+        _violations(os.path.join(base, "run_waved")),
+    ], ignore_index=True)
+    got = got.sort_values(list(got.columns), kind="mergesort").reset_index(drop=True)
+    want = _violations(os.path.join(base, "run_full"))
+    pd.testing.assert_frame_equal(got, want)
