@@ -6929,6 +6929,84 @@ FROM tok GROUP BY doc_id
 """
 
 
+def q_null_profile(sf_dir: str):
+    """Column completeness profile over the documents table (the first
+    pass of any schema-validation engine): per column, total rows, nulls,
+    and empty-string counts — pure integer counts so the gate is exact.
+
+    Scale shape: per-block partials are |columns| rows each (pc.is_null /
+    equality kernels, zero data-dependent state), one ≤ |columns|-group
+    aggregate — nothing but the tiny profile shuffles."""
+    from ray.data.aggregate import Sum
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, n_null, n_empty = [], [], []
+        for c in cols:
+            col = t[c]
+            names.append(c)
+            n_null.append(col.null_count)
+            if pa.types.is_string(col.type):
+                ne = pc.sum(pc.equal(col, "")).as_py() or 0
+            else:
+                ne = 0
+            n_empty.append(int(ne))
+        k = len(cols)
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n_rows": pa.array([t.num_rows] * k, pa.int64()),
+            "n_null": pa.array(n_null, pa.int64()),
+            "n_empty": pa.array(n_empty, pa.int64()),
+        })
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": t["column"],
+            "n_rows": pc.cast(t["sum(n_rows)"], pa.int64()),
+            "n_null": pc.cast(t["sum(n_null)"], pa.int64()),
+            "n_empty": pc.cast(t["sum(n_empty)"], pa.int64()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_rows", alias_name="sum(n_rows)"),
+                   Sum("n_null", alias_name="sum(n_null)"),
+                   Sum("n_empty", alias_name="sum(n_empty)"))
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+SQL_NULL_PROFILE = """
+SELECT 'doc_id' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(0 AS BIGINT) AS n_empty
+FROM documents
+UNION ALL
+SELECT 'text', count(*),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN source = '' THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM documents
+"""
+
+
 def q_above_avg_orders(sf_dir: str):
     """Correlated-subquery pattern: orders whose total exceeds their
     customer's average order total.  Float averages never cross the gate —
@@ -7226,6 +7304,7 @@ _ORACLE = {
     "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
     "orders_per_weekday": SQL_ORDERS_PER_WEEKDAY,
     "char_concentration": SQL_CHAR_CONCENTRATION,
+    "null_profile": SQL_NULL_PROFILE,
 }
 
 _QUERIES = {
@@ -7322,6 +7401,7 @@ _QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "orders_per_weekday": q_orders_per_weekday,
     "char_concentration": q_char_concentration,
+    "null_profile": q_null_profile,
     # rows-only (no SQL equivalent)
     "kmeans_clusters": q_kmeans_clusters,
     "image_phash_dups": q_image_phash_dups,
