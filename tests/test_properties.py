@@ -125,3 +125,40 @@ def test_jaro_winkler_batch_edge_paths():
     ]
     got = jaro_winkler_batch(pairs)
     assert np.array_equal(got, np.array([jaro_winkler(a, b) for a, b in pairs]))
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.text(max_size=40), max_size=20))
+def test_utf8_codepoints_property(texts):
+    """Vectorized UTF-8 decode == python ord() on arbitrary unicode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sievedata.functions.text import utf8_codepoints
+
+    arr = pa.array(texts, pa.string())
+    parent, cp, n = utf8_codepoints(arr)
+    want_cp = [ord(ch) for t in texts for ch in t]
+    want_parent = [i for i, t in enumerate(texts) for _ in t]
+    assert cp.tolist() == want_cp
+    assert parent.tolist() == want_parent
+    assert n.tolist() == [len(t) for t in texts]
+
+
+@settings(deadline=None, max_examples=40)
+@given(st.lists(st.lists(st.floats(-10, 10, allow_nan=False, width=32),
+                         min_size=3, max_size=3), min_size=1, max_size=16),
+       st.integers(0, 8))
+def test_embedding_matrix_property(rows, offset):
+    """Zero-copy matrix == per-row build, on plain and sliced arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sievedata.functions.ann import embedding_matrix
+
+    arr = pa.array(rows, pa.list_(pa.float32()))
+    old = np.asarray([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+    np.testing.assert_array_equal(embedding_matrix(arr), old)
+    off = min(offset, len(arr) - 1)
+    sliced = arr.slice(off)
+    np.testing.assert_array_equal(embedding_matrix(sliced), old[off:])
