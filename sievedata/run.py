@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
                          "this many atomically-committed waves so a killed "
                          "run resumes mid-dataset")
 
+    sh = sub.add_parser("shard")
+    sh.add_argument("--input", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--budget", type=int, default=100_000,
+                    help="token budget per output shard")
+    sh.add_argument("--no-resume", action="store_true")
+
     ss = sub.add_parser("score")
     ss.add_argument("--input", required=True)
     ss.add_argument("--history", default=None,
@@ -130,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
                 cfg=cfg, resume=not args.no_resume,
                 history_path=args.history,
             )
+        elif args.cmd == "shard":
+            from sievedata.pipelines.shard import shard_corpus
+
+            out = shard_corpus(args.input, args.out, budget=args.budget,
+                               resume=not args.no_resume)
         elif args.cmd == "dedup":
             from sievedata.pipelines.dedup import dedup_corpus
 
