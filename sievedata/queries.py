@@ -7422,9 +7422,77 @@ _QUERIES = {
 }
 
 
+# The external correctness driver samples the FIRST 50 entries of queries()
+# insertion order.  Rounds 1-4 always led with the round-1 relational set, so
+# the 44 oracle-bearing operators added in rounds 3-4 never got a driver row
+# (VERDICT.md round 4, "Next round #1").  Lead with those 44, then 6
+# long-green round-1 sentinels to fill the 50-slot window; everything else
+# (already captured in CORRECTNESS_r01..r04) follows in original order.
+_DRIVER_PRIORITY = [
+    # never-driver-checked, oracle-bearing (rounds 2-4)
+    "full_outer_join",
+    "string_agg_statuses",
+    "intersect_users",
+    "mode_event_type",
+    "global_rank",
+    "shipping_priority",
+    "except_users",
+    "dense_rank",
+    "stratified_sample",
+    "token_shards",
+    "term_doc_freq",
+    "repetition_filter",
+    "union_ids",
+    "approx_quantiles",
+    "decontaminate",
+    "dedup_corpus",
+    "pii_scan",
+    "tfidf_top_terms",
+    "multi_distinct",
+    "chunk_dedup",
+    "token_rarity",
+    "winnow_fingerprints",
+    "posting_lists",
+    "quality_buckets",
+    "domain_mixture",
+    "label_centroids",
+    "ngram_diversity",
+    "weighted_sample",
+    "domain_caps",
+    "hash_split",
+    "pack_windows",
+    "length_filter",
+    "embedding_quantize",
+    "bpe_merge_candidates",
+    "dup_ratio_by_source",
+    "event_funnel",
+    "json_props_sum",
+    "retention_cohorts",
+    "degree_histogram",
+    "tokenizer_coverage",
+    "above_avg_orders",
+    "orders_per_weekday",
+    "char_concentration",
+    "null_profile",
+    # long-green sentinels (driver-checked every prior round)
+    "returnflag_agg",
+    "customer_baseline",
+    "anti_join",
+    "topk_orders",
+    "window_drift",
+    "ann_topk",
+]
+
+
+def _reorder(d):
+    out = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def queries():
-    return dict(_QUERIES)
+    return _reorder(_QUERIES)
 
 
 def oracle_sql():
-    return dict(_ORACLE)
+    return _reorder(_ORACLE)
