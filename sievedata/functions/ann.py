@@ -94,7 +94,10 @@ def make_bruteforce_fn(queries_ref, k: int = 5):
         inst = _BF_CACHE.get(key)
         if inst is None:
             inst = BruteForceTopK(queries_ref, k=k)
-            _BF_CACHE.clear()
+            # bounded LRU-ish eviction: clearing on every new key would
+            # thrash when two interleaved top-k runs share a worker
+            while len(_BF_CACHE) >= 4:
+                _BF_CACHE.pop(next(iter(_BF_CACHE)))
             _BF_CACHE[key] = inst
         return inst(batch)
 

@@ -80,7 +80,10 @@ def shard_corpus(
         df["shard"] = (excl // budget).astype(np.int64)
         return df
 
-    sharded = rows.groupby("bin").map_groups(assign, batch_format="pandas")
+    # materialize once: count() on the lazy Dataset would re-execute the
+    # whole tokenize+groupby pipeline a second time for the write below
+    sharded = rows.groupby("bin").map_groups(
+        assign, batch_format="pandas").materialize()
     n_docs = sharded.count()
     with commit_dir(shards_dir) as tmp:
         sharded.write_parquet(tmp, partition_cols=["shard"])

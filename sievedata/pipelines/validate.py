@@ -1141,11 +1141,16 @@ def validate_documents(
         new_files = [rel[r] for r in sorted(set(rel) - prev_files)]
         all_rel_files = sorted(set(rel))
         prev_checked_dirs = list(lin.get("checked_dirs", []))
-    else:
+    elif os.path.isdir(documents_path):
         all_rel_files = sorted(
             os.path.relpath(f, documents_path)
             for f in _list_parquet_files(documents_path)
-        ) if (os.path.isdir(documents_path) or documents_path.endswith(".parquet")) else []
+        )
+    elif documents_path.endswith(".parquet"):
+        # single-file input: relpath(f, f) would record the useless '.'
+        all_rel_files = [os.path.basename(documents_path)]
+    else:
+        all_rel_files = []
 
     def _mark(name: str) -> None:
         nonlocal t_last

@@ -6057,6 +6057,16 @@ FROM pos GROUP BY lang ORDER BY lang
 """
 
 
+def _mul_hash32(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash mod 2**32, well-defined for any doc_id ≥ 0:
+    the product is computed in uint64 so it wraps mod 2**64 (2**32 divides
+    2**64, so the low 32 bits equal those of the exact product — no silent
+    int64 overflow for doc_id ≳ 3.5e9), then returned as int64 (< 2**32).
+    SQL mirror: CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296."""
+    return ((ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296)).astype(np.int64)
+
+
 def q_weighted_sample(sf_dir: str, k: int = 100):
     """Deterministic size-weighted corpus sampling: priority key
     ``((doc_id · 2654435761) mod 2³²) · 10⁶ ∕∕ n_chars`` (a multiplicative
@@ -6074,7 +6084,7 @@ def q_weighted_sample(sf_dir: str, k: int = 100):
         nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = nch > 0
         ids, nch = ids[m], nch[m]
-        h = (ids * 2654435761) % 4294967296
+        h = _mul_hash32(ids)
         wkey = (h * 1000000) // nch
         order = np.lexsort((ids, wkey))[:k]
         return pa.table({"doc_id": pa.array(ids[order]),
@@ -6090,7 +6100,8 @@ def q_weighted_sample(sf_dir: str, k: int = 100):
 
 SQL_WEIGHTED_SAMPLE = """
 SELECT doc_id,
-       ((doc_id * 2654435761) % 4294967296) * 1000000 // n_chars AS wkey
+       CAST((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296)
+            * 1000000 // n_chars AS BIGINT) AS wkey
 FROM documents WHERE n_chars > 0
 ORDER BY wkey, doc_id LIMIT 100
 """
@@ -6118,7 +6129,7 @@ def q_domain_caps(sf_dir: str, cap: int = 15):
     n_buckets = 64
 
     def _ranked_prefix(ids: np.ndarray, src: np.ndarray, k: int):
-        pri = (ids * 2654435761) % 4294967296
+        pri = _mul_hash32(ids)
         order = np.lexsort((ids, pri, src))
         src_s = src[order]
         starts = np.flatnonzero(np.concatenate(([True], src_s[1:] != src_s[:-1])))
@@ -6128,6 +6139,9 @@ def q_domain_caps(sf_dir: str, cap: int = 15):
         return keep, (rank[rank < k] + 1)
 
     def partial(t: pa.Table) -> pa.Table:
+        # NULL sources are unorderable under np.lexsort (None vs str);
+        # drop them here and in the oracle's WHERE clause alike.
+        t = t.filter(pc.is_valid(t["source"]))
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = t["source"].to_numpy(zero_copy_only=False)
         keep, _ = _ranked_prefix(ids, src, cap)
@@ -6162,8 +6176,9 @@ SQL_DOMAIN_CAPS = """
 WITH r AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
-             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
-  FROM documents)
+             ORDER BY CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296,
+                      doc_id) AS rn
+  FROM documents WHERE source IS NOT NULL)
 SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 15
 """
 
@@ -6182,7 +6197,7 @@ def q_hash_split(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) % 4294967296 % 100
+        h = _mul_hash32(ids) % 100
         split = np.where(h < 10, "test", np.where(h < 20, "valid", "train"))
         uniq, inv = np.unique(split, return_inverse=True)
         return pa.table({
@@ -6212,9 +6227,12 @@ def q_hash_split(sf_dir: str):
 
 
 SQL_HASH_SPLIT = """
-SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
-            WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20 THEN 'valid'
-            ELSE 'train' END AS split,
+SELECT CASE
+         WHEN CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 % 100 < 10
+           THEN 'test'
+         WHEN CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 % 100 < 20
+           THEN 'valid'
+         ELSE 'train' END AS split,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY 1
