@@ -199,3 +199,69 @@ def test_incremental_with_waves_matches(inc_env):
     got = got.sort_values(list(got.columns), kind="mergesort").reset_index(drop=True)
     want = _violations(os.path.join(base, "run_full"))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_index_prunes_history_fragments(inc_env):
+    """The persistent dup-group index lets a delta run read only the
+    history fragments whose groups the delta touches.  Dup twins are
+    doc_id-adjacent in the fixture, so a doc_id-ordered delta's groups
+    live almost entirely within the delta: the probe must prune strictly,
+    and the pruned run's outputs must still match the chain run (which the
+    chain test already verified against the full run)."""
+    prof = inc_env["prof"]
+    base = inc_env["base"]
+    if not os.path.exists(os.path.join(base, "run_c")):
+        pytest.skip("chain test did not run")
+    validate_documents = inc_env["validate"]
+    # same delta as run_c: fragment 2 against the run_b history chain
+    run_p = validate_documents(
+        inc_env["grow_dir"], prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_prune"), resume=False,
+        prev_run_dir=os.path.join(base, "run_b"))
+    stats = run_p["timings"].get("stage2_index_probe_stats")
+    assert stats is not None, "delta run must record index-probe stats"
+    assert stats["pruned"] is True
+    assert stats["indexed_runs"] == stats["runs"] > 0
+    assert stats["scanned_fragments"] < stats["total_fragments"], (
+        "index probe did not prune any history fragment")
+    pd.testing.assert_frame_equal(
+        _violations(os.path.join(base, "run_prune")),
+        _violations(os.path.join(base, "run_c")))
+    pd.testing.assert_frame_equal(
+        _verdicts(run_p["verdicts"]), _verdicts(inc_env["run_full"]["verdicts"]))
+
+
+def test_group_index_fallback_without_index(inc_env):
+    """A history run without a group index (older engine / group_index
+    disabled) falls back to the full history scan with identical output."""
+    import shutil as _sh
+
+    from sievedata.pipelines.validate import ValidateConfig
+
+    prof = inc_env["prof"]
+    base = inc_env["base"]
+    names = inc_env["names"]
+    if not os.path.exists(os.path.join(base, "run_b")):
+        pytest.skip("chain test did not run")
+    grow2 = os.path.join(base, "docs_grow2")
+    os.makedirs(grow2, exist_ok=True)
+    _sh.copy(os.path.join(inc_env["full_dir"], names[0]),
+             os.path.join(grow2, names[0]))
+    validate_documents = inc_env["validate"]
+    validate_documents(
+        grow2, prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_noidx"), resume=False,
+        cfg=ValidateConfig(group_index=False))
+    assert not os.path.exists(os.path.join(base, "run_noidx", "group_index"))
+    _sh.copy(os.path.join(inc_env["full_dir"], names[1]),
+             os.path.join(grow2, names[1]))
+    run_d = validate_documents(
+        grow2, prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_noidx_delta"), resume=False,
+        prev_run_dir=os.path.join(base, "run_noidx"))
+    stats = run_d["timings"]["stage2_index_probe_stats"]
+    assert stats["indexed_runs"] == 0
+    # same delta as the chain's run_b, which ran WITH history indexes
+    pd.testing.assert_frame_equal(
+        _violations(os.path.join(base, "run_noidx_delta")),
+        _violations(os.path.join(base, "run_b")))
