@@ -672,6 +672,27 @@ def run_incremental() -> dict:
         "full_docs": full["n_docs"], "delta_docs": ds["n_docs"],
         "speedup": round(t_full / t_d, 2),
     }
+
+    # store-chain mode (prev_run_dir): the delta scores against the base
+    # run's PERSISTED candidate store — no re-parse of the store documents
+    t0 = time.perf_counter()
+    score_documents(hist, os.path.join(sprof, "profiles.parquet"),
+                    os.path.join(sprof, "media_bloom.bin"),
+                    os.path.join(work, "s_basestore"), resume=False)
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dsi = score_documents(delta, os.path.join(sprof, "profiles.parquet"),
+                          os.path.join(sprof, "media_bloom.bin"),
+                          os.path.join(work, "s_chainrun"), resume=False,
+                          prev_run_dir=os.path.join(work, "s_basestore"))
+    t_di = time.perf_counter() - t0
+    out["score"].update({
+        "base_store_sec": round(t_base, 2),
+        "delta_sec_store_chain": round(t_di, 2),
+        "store_chain_speedup": round(t_full / t_di, 2),
+        "store_probe_stats": dsi["timings"].get("store_index_probe_stats"),
+        "store_chain_timings": dsi["timings"],
+    })
     ray.shutdown()
     return out
 

@@ -121,6 +121,154 @@ def is_wav(payload: bytes) -> bool:
             and payload[8:12] == b"WAVE")
 
 
+# --- PNG (W3C spec: zlib-DEFLATE scanlines, per-row filters 0-4) -----------
+#
+# PNG is implementable in-sandbox with stdlib zlib + numpy alone: chunks are
+# length/type/data/CRC32 frames, IDAT is one zlib stream of H scanlines each
+# prefixed by a filter byte.  The ENCODER applies any of the five filter
+# types fully vectorized (filtering subtracts predictors of the RAW image).
+# The DECODER unfilters sequentially where the spec demands it: None/Sub/Up
+# are whole-row numpy ops (Sub is a modular cumsum over the pixel stride);
+# Average/Paeth reconstruct left-to-right with the channel vector as the
+# vector unit (W iterations/row, each O(channels)).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_IHDR = struct.Struct(">IIBBBBB")
+
+
+def is_png(payload: bytes) -> bool:
+    return len(payload) > 8 and payload[:8] == _PNG_SIG
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (filter type 4)."""
+    ai, bi, ci = a.astype(np.int16), b.astype(np.int16), c.astype(np.int16)
+    p = ai + bi - ci
+    pa_, pb_, pc_ = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                    np.where(pb_ <= pc_, b, c)).astype(np.uint8)
+
+
+def png_encode(img: np.ndarray, filters=None) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    ``filters``: None → filter 0 for every row; an int or an (H,) array
+    selects per-row filter types 0-4 (all five produce byte-identical
+    pixels after decode — the roundtrip property tests sweep them)."""
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("png_encode expects (H, W, 3) uint8 RGB")
+    h, w, _ = img.shape
+    bpp = 3
+    raw = img.reshape(h, w * bpp)
+    ft = np.zeros(h, dtype=np.uint8) if filters is None else (
+        np.full(h, filters, dtype=np.uint8) if np.isscalar(filters)
+        else np.asarray(filters, dtype=np.uint8))
+    if ft.shape != (h,) or ft.max(initial=0) > 4:
+        raise ValueError("filters must be 0-4, one per row")
+    # predictors over the RAW image (what the decoder will have
+    # reconstructed), so every filter type vectorizes whole-image
+    a = np.zeros_like(raw); a[:, bpp:] = raw[:, :-bpp]        # left pixel
+    b = np.zeros_like(raw); b[1:] = raw[:-1]                   # above
+    c = np.zeros_like(raw); c[1:, bpp:] = raw[:-1, :-bpp]      # above-left
+    filt = np.empty((h, w * bpp), dtype=np.uint8)
+    for t in np.unique(ft):
+        m = ft == t
+        if t == 0:
+            filt[m] = raw[m]
+        elif t == 1:
+            filt[m] = raw[m] - a[m]
+        elif t == 2:
+            filt[m] = raw[m] - b[m]
+        elif t == 3:
+            filt[m] = raw[m] - ((a[m].astype(np.uint16) + b[m]) >> 1).astype(np.uint8)
+        else:
+            filt[m] = raw[m] - _paeth(a[m], b[m], c[m])
+    scan = np.concatenate([ft[:, None], filt], axis=1).tobytes()
+    ihdr = _PNG_IHDR.pack(w, h, 8, 2, 0, 0, 0)   # depth 8, truecolor RGB
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to an (H, W, 3) uint8 RGB array.
+
+    Supports color types 0 (greyscale, expanded), 2 (RGB) and 6 (RGBA,
+    alpha dropped), all five filter types, and multiple IDAT chunks."""
+    import zlib
+
+    if not is_png(payload):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = _PNG_IHDR.unpack(data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size                          # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_i, comp, filt_m, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})")
+    bpp = {0: 1, 2: 3, 6: 4}.get(ctype_i)
+    if bpp is None:
+        raise ValueError(f"unsupported PNG color type {ctype_i}")
+    stride = w * bpp
+    scan = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(scan) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    scan = scan.reshape(h, stride + 1)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        t, line = scan[y, 0], scan[y, 1:]
+        if t == 0:
+            cur = line.copy()
+        elif t == 1:                              # Sub: modular prefix sum
+            cur = np.cumsum(line.reshape(w, bpp), axis=0,
+                            dtype=np.uint8).reshape(stride)
+        elif t == 2:                              # Up
+            cur = line + prev
+        elif t in (3, 4):                         # sequential in x by spec
+            cur = np.empty(stride, dtype=np.uint8)
+            lp = line.reshape(w, bpp)
+            pp = prev.reshape(w, bpp)
+            cp = np.vstack([np.zeros((1, bpp), np.uint8), pp[:-1]])
+            left = np.zeros(bpp, dtype=np.uint8)
+            cv = cur.reshape(w, bpp)
+            for x in range(w):
+                if t == 3:
+                    pred = ((left.astype(np.uint16) + pp[x]) >> 1).astype(np.uint8)
+                else:
+                    pred = _paeth(left, pp[x], cp[x])
+                left = lp[x] + pred
+                cv[x] = left
+        else:
+            raise ValueError(f"bad PNG filter type {t}")
+        recon[y] = cur
+        prev = cur
+    img = recon.reshape(h, w, bpp)
+    if bpp == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3].copy() if bpp == 4 else img
+
+
 # --- Feature extraction (decoded media → fixed-dim vectors) ----------------
 
 

@@ -4,15 +4,17 @@ Media payloads are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample are actor-pool map_batches stages.
 
 Decode support is tiered:
-- **REAL decode** for uncompressed formats parseable with numpy alone
-  (functions/codecs.py): 24-bit BMP images and PCM-16 WAV audio —
-  ``decode_media`` sniffs the payload magic and returns real features;
-  ``MediaResizer`` really decodes → nearest-neighbor resizes → re-encodes
-  BMP payloads.
-- **STUB** for compressed formats (JPEG/PNG/MP4 need PIL/ffmpeg, which are
-  NOT in this container): raises NotImplementedError unless ``fake=True``,
-  in which case a deterministic sha256-based fake exercises the real
-  Ray-side plumbing — schema, batch sizing, actor signature, output layout.
+- **REAL decode** for formats parseable with numpy + stdlib alone
+  (functions/codecs.py): 24-bit BMP and 8-bit PNG images (zlib DEFLATE +
+  the five scanline filters) and PCM-16 WAV audio — ``decode_media``
+  sniffs the payload magic and returns real features; ``MediaResizer``
+  really decodes → nearest-neighbor resizes → re-encodes BMP/PNG payloads
+  (preserving the container format).
+- **STUB** for the remaining compressed formats (JPEG/MP4 need PIL/ffmpeg,
+  which are NOT in this container): raises NotImplementedError unless
+  ``fake=True``, in which case a deterministic sha256-based fake exercises
+  the real Ray-side plumbing — schema, batch sizing, actor signature,
+  output layout.
 """
 from __future__ import annotations
 
@@ -39,21 +41,25 @@ MEDIA_SCHEMA = pa.schema(
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode one media payload to a 16-dim feature array.
 
-    BMP and WAV payloads (sniffed by magic bytes) decode for REAL via the
-    pure-numpy codecs; other formats need PIL/ffmpeg (not installed) and
-    raise NotImplementedError unless ``fake`` is set, in which case a
+    BMP, PNG and WAV payloads (sniffed by magic bytes) decode for REAL via
+    the pure-numpy codecs; other formats need PIL/ffmpeg (not installed)
+    and raise NotImplementedError unless ``fake`` is set, in which case a
     deterministic sha256-derived vector is returned (stable across runs, so
     downstream plumbing is testable for any payload shape).
     """
+    import zlib
+
     # magic bytes are a sniff, not proof: arbitrary payloads (e.g. text
     # starting with "BM") can collide, so a failed real decode falls back
     # to the fake path when fake=True instead of raising
     try:
         if codecs.is_bmp(payload):
             return codecs.image_features(codecs.bmp_decode(payload))
+        if codecs.is_png(payload):
+            return codecs.image_features(codecs.png_decode(payload))
         if codecs.is_wav(payload):
             return codecs.audio_features(*codecs.wav_decode(payload))
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, zlib.error):
         if not fake:
             raise
     if not fake:
@@ -92,18 +98,24 @@ class MediaResizer:
         return bytes(out[: self.thumb_bytes])
 
     def _resize_one(self, payload: bytes) -> bytes:
+        import zlib
+
         try:
             if codecs.is_bmp(payload):
                 img = codecs.bmp_decode(payload)
                 return codecs.bmp_encode(
                     codecs.bmp_resize_nearest(img, self.width, self.height))
-        except (ValueError, struct.error):  # sniff collided with non-BMP
+            if codecs.is_png(payload):
+                img = codecs.png_decode(payload)
+                return codecs.png_encode(
+                    codecs.bmp_resize_nearest(img, self.width, self.height))
+        except (ValueError, struct.error, zlib.error):  # sniff collision
             if not self.fake:
                 raise
             return self._fake_resize(payload)
         if not self.fake:
             raise NotImplementedError(
-                "compressed-media codecs are not available; supply BMP "
+                "compressed-media codecs are not available; supply BMP/PNG "
                 "payloads or construct with fake=True")
         return self._fake_resize(payload)
 
@@ -135,6 +147,22 @@ def synth_bmp(seed: int, width: int = 24, height: int = 16) -> bytes:
         axis=2,
     ).astype(np.uint8)
     return codecs.bmp_encode(img)
+
+
+def synth_png(seed: int, width: int = 24, height: int = 16) -> bytes:
+    """Deterministic real PNG payload (same seeded image family as
+    synth_bmp, encoded with a seed-derived per-row filter mix so fixtures
+    exercise every unfilter path)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    x = np.linspace(0, 255, width, dtype=np.float32)
+    y = np.linspace(0, 255, height, dtype=np.float32)[:, None]
+    img = np.stack(
+        [np.broadcast_to(x, (height, width)),
+         np.broadcast_to(y, (height, width)),
+         rng.integers(0, 256, (height, width)).astype(np.float32)],
+        axis=2,
+    ).astype(np.uint8)
+    return codecs.png_encode(img, filters=rng.integers(0, 5, height))
 
 
 def synth_wav(seed: int, n_samples: int = 1600, rate: int = 16_000) -> bytes:

@@ -88,6 +88,15 @@ class ScoreConfig:
     # layered runtime config (ST4 parity, app/main.py:211-235): arbitrary
     # keys resolved vendor:{partition_key} → global → dataclass default
     config: "ConfigStore | None" = None
+    # persist the parsed candidate store (store/: one row per input doc =
+    # score-parse output + full 64-perm MinHash signature; store_index/:
+    # fragment → distinct 64-bit group-key hashes).  A later delta run
+    # passing prev_run_dir= scores against the store CHAIN: only fragments
+    # whose groups the delta touches are read, and nothing is re-parsed or
+    # re-minhashed — the reference's indexed per-vendor candidate query
+    # (app/retrieval.py:12-48 hitting B-tree indexes) re-expressed as a
+    # persisted columnar index.  I/O-only; never changes decisions.
+    persist_store: bool = True
 
 
 def doc_line_text(lines_col: pa.ChunkedArray | pa.ListArray) -> pa.Array:
@@ -107,7 +116,7 @@ def doc_line_text(lines_col: pa.ChunkedArray | pa.ListArray) -> pa.Array:
 
 def _explode_candidates(
     batch: pa.Table, n_buckets: int, neartext: bool = True, neartext_bands: int = 8,
-    emit_base: bool = False,
+    emit_base: bool = False, sig_col: str | None = None,
 ) -> pa.Table:
     """Each eligible doc → one row per present block family (+bucket).
 
@@ -160,8 +169,17 @@ def _explode_candidates(
         outs.append(_with_keys(sub, family, bk.combine_chunks() if isinstance(bk, pa.ChunkedArray) else bk))
 
     if neartext and elig.num_rows:
-        texts = doc_line_text(elig.column("lines"))
-        sigs = minhash_signature_batch(texts)
+        if sig_col is not None and sig_col in elig.column_names:
+            # persisted candidate store: full 64-perm uint64 signatures were
+            # computed at store-write time — identical band keys, no
+            # re-minhash of the history side
+            from sievedata.pipelines.validate import _fixed_bin_to_mat
+
+            sigs = _fixed_bin_to_mat(
+                elig.column(sig_col), np.uint64, 64).copy()
+        else:
+            texts = doc_line_text(elig.column("lines"))
+            sigs = minhash_signature_batch(texts)
         # lsh_band_arrays is band-major (band 0: all docs, band 1: …) and
         # pure-numpy — no python string/list building in this hot path
         bi, bh = lsh_band_arrays(sigs, bands=neartext_bands)
@@ -824,6 +842,76 @@ def _decision_counts(decisions_dir: str) -> dict:
 _HIST_KEY_BROADCAST_MAX = 2_000_000
 
 
+def _group_block_hash(t: pa.Table) -> np.ndarray:
+    """64-bit hash of (partition_key ␟ family ␟ block_key) — the candidate
+    group identity shared by history pruning and the store index."""
+    from sievedata.sketches.hashing import hash64
+
+    combined = pc.binary_join_element_wise(
+        t["partition_key"].combine_chunks().cast(pa.string()),
+        t["family"].combine_chunks(),
+        t["block_key"].combine_chunks(), "\x1f")
+    return hash64(combined, seed=59)
+
+
+# columns sufficient to re-explode a persisted store row into its candidate
+# group keys (sig_col replaces the lines-derived MinHash)
+_STORE_KEY_COLS = ["partition_key", "missing_fields", "is_credit",
+                   "invnum_norm", "po_number", "amount_month_key",
+                   "remit_account_hash", "neartext_sig"]
+
+
+def _store_explode(t: pa.Table, cfg: "ScoreConfig") -> pa.Table:
+    return _explode_candidates(
+        t, cfg.n_buckets, neartext=cfg.neartext,
+        neartext_bands=cfg.neartext_bands, emit_base=False,
+        sig_col="neartext_sig")
+
+
+def _prune_store_files(
+    store_dirs: list[str], probe: np.ndarray | None, cfg: "ScoreConfig",
+) -> tuple[list[str], dict]:
+    """Store fragments a delta run must read, pruned via each run's
+    persisted store_index (fragment → distinct 64-bit group-key hashes).
+    ``probe=None`` (delta key set over the broadcast guard) or a store dir
+    without an index falls back to reading that dir in full."""
+    import ray
+    import ray.data as rd
+
+    from sievedata.pipelines.validate import (
+        _list_parquet_files, _make_index_probe)
+
+    all_files = {d: _list_parquet_files(d) for d in store_dirs}
+    total = sum(len(v) for v in all_files.values())
+    stats: dict = {"total_fragments": total, "runs": len(store_dirs)}
+    indexed = [
+        d for d in store_dirs
+        if stage_done(os.path.join(os.path.dirname(d), "store_index"))
+    ] if probe is not None else []
+    stats["indexed_runs"] = len(indexed)
+    if not indexed:
+        stats["pruned"] = False
+        return [f for d in store_dirs for f in all_files[d]], stats
+    probe_ref = ray.put(probe)
+    out: list[str] = []
+    for d in store_dirs:
+        if d not in indexed:
+            out.extend(all_files[d])
+            continue
+        hits = (
+            rd.read_parquet(os.path.join(os.path.dirname(d), "store_index"))
+            .map_batches(_make_index_probe(probe_ref), batch_format="pyarrow")
+            .to_pandas()
+        )
+        touched = (set(hits["file"].astype(str))
+                   if "file" in hits.columns else set())
+        out.extend(f for f in all_files[d]
+                   if os.path.relpath(f, d) in touched)
+    stats["pruned"] = True
+    stats["scanned_fragments"] = len(out)
+    return out, stats
+
+
 def score_documents(
     documents_path: str,
     profiles_path: str,
@@ -832,6 +920,7 @@ def score_documents(
     cfg: ScoreConfig | None = None,
     resume: bool = True,
     history_path: str | None = None,
+    prev_run_dir: str | None = None,
 ) -> dict:
     """Run the batch scoring pipeline; writes decisions/ parquet + summary.
 
@@ -845,7 +934,13 @@ def score_documents(
     Equivalence (tested): with doc_ids append-ordered, the delta run's
     decisions byte-match a full run's decisions restricted to the delta
     docs — group membership, the sorted per-group cap, and every pair
-    feature are identical."""
+    feature are identical.
+
+    With ``prev_run_dir`` (mutually exclusive with history_path), the
+    history side is the persisted candidate-store CHAIN of the previous
+    runs: each store_index is probed with the delta's group-key hashes and
+    only the touched store fragments are read — no document of the store
+    is parsed (or even opened) again.  Same equivalence contract."""
     import pyarrow.parquet as pq
     import ray
 
@@ -871,6 +966,93 @@ def score_documents(
                 "cases": os.path.join(run_dir, "cases.parquet"),
                 "audit": os.path.join(run_dir, "audit_log.jsonl"),
                 **counts}
+
+    import json as _mjson
+
+    store_dir = os.path.join(run_dir, "store")
+    store_index_dir = os.path.join(run_dir, "store_index")
+    explode_cfg = {"n_buckets": cfg.n_buckets, "neartext": cfg.neartext,
+                   "neartext_bands": cfg.neartext_bands}
+    prev_store_dirs: list[str] = []
+    if prev_run_dir is not None:
+        if history_path is not None:
+            raise ValueError(
+                "pass history_path OR prev_run_dir, not both")
+        with open(os.path.join(prev_run_dir, "manifest.json")) as f:
+            prev_lin = _mjson.load(f).get("lineage", {})
+        if prev_lin.get("explode_config") != explode_cfg:
+            raise ValueError(
+                f"incremental score config mismatch vs previous run: "
+                f"{prev_lin.get('explode_config')} != {explode_cfg} — "
+                f"persisted group keys would not line up")
+        prev_store_dirs = list(prev_lin.get("store_dirs", []))
+        if not prev_store_dirs:
+            raise ValueError(
+                "previous run persisted no candidate store "
+                "(persist_store=False?) — use history_path instead")
+
+    # persist this run's candidate store + its fragment index (the delta
+    # chain's history side): parse + MinHash each input doc exactly once,
+    # forever.  No shuffle; write is fragment-parallel.
+    if cfg.persist_store:
+        import ray.data as rd
+
+        if not (resume and stage_done(store_dir)):
+
+            def _store_rows(b: pa.Table) -> pa.Table:
+                from sievedata.functions.dedup import minhash_signature_batch
+                from sievedata.pipelines.validate import _mat_to_fixed_bin
+
+                t = score_parse_batch(b)
+                sigs = minhash_signature_batch(doc_line_text(t.column("lines")))
+                return t.append_column(
+                    "neartext_sig", _mat_to_fixed_bin(sigs))
+
+            with commit_dir(store_dir) as tmp:
+                read_documents(documents_path).map_batches(
+                    _store_rows, batch_format="pyarrow"
+                ).write_parquet(
+                    tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
+        _mark("store_persist")
+        if not (resume and stage_done(store_index_dir)):
+            from sievedata.pipelines.validate import _list_parquet_files
+
+            def _index_rows(b: pa.Table) -> pa.Table:
+                paths = b.column("path").to_numpy(zero_copy_only=False)
+                body = b.drop_columns(["path"])
+                files, mixes = [], []
+                for p in np.unique(paths):
+                    sub = body.filter(pa.array(paths == p))
+                    ex = _store_explode(sub, cfg)
+                    kh = (np.unique(_group_block_hash(ex)) if ex.num_rows
+                          else np.empty(0, np.uint64))
+                    files.append(np.full(
+                        len(kh), os.path.relpath(str(p), store_dir),
+                        dtype=object))
+                    mixes.append(kh)
+                if not files:
+                    return pa.table({"file": pa.array([], pa.string()),
+                                     "mix": pa.array([], pa.int64())})
+                return pa.table({
+                    "file": pa.array(np.concatenate(files).astype(str)),
+                    "mix": pa.array(np.concatenate(mixes).view(np.int64)),
+                })
+
+            sfiles = _list_parquet_files(store_dir)
+            with commit_dir(store_index_dir) as tmp:
+                if sfiles:
+                    (rd.read_parquet(sfiles, columns=_STORE_KEY_COLS,
+                                     include_paths=True)
+                     .map_batches(_index_rows, batch_format="pyarrow")
+                     .write_parquet(tmp))
+                else:
+                    pq.write_table(
+                        pa.table({"file": pa.array([], pa.string()),
+                                  "mix": pa.array([], pa.int64())}),
+                        os.path.join(tmp, "part-0.parquet"))
+        _mark("store_index")
+
+    hist_mode = history_path is not None or bool(prev_store_dirs)
 
     prof_df = pq.read_table(profiles_path).to_pandas()
     profile_stats = {
@@ -899,7 +1081,7 @@ def score_documents(
             score_parse_batch(b), cfg.n_buckets, neartext=cfg.neartext,
             neartext_bands=cfg.neartext_bands, emit_base=True,
         )
-        if history_path is not None:
+        if hist_mode:
             t = t.append_column(
                 "is_hist", pa.array(np.zeros(t.num_rows, dtype=bool)))
         return t
@@ -907,15 +1089,8 @@ def score_documents(
     src = read_documents(documents_path).map_batches(
         _delta_explode, batch_format="pyarrow")
 
-    if history_path is not None:
-        from sievedata.sketches.hashing import hash64 as _h64
-
-        def _group_hash(t: pa.Table) -> np.ndarray:
-            combined = pc.binary_join_element_wise(
-                t["partition_key"].combine_chunks().cast(pa.string()),
-                t["family"].combine_chunks(),
-                t["block_key"].combine_chunks(), "\x1f")
-            return _h64(combined, seed=59)
+    if hist_mode:
+        import ray.data as rd
 
         def _delta_keys(b: pa.Table) -> pa.Table:
             t = _explode_candidates(
@@ -925,24 +1100,22 @@ def score_documents(
             if t.num_rows == 0:
                 return pa.table({"kh": pa.array([], pa.int64())})
             return pa.table({"kh": pa.array(
-                np.unique(_group_hash(t)).view(np.int64))})
+                np.unique(_group_block_hash(t)).view(np.int64))})
 
         keys_ds = read_documents(documents_path).map_batches(
             _delta_keys, batch_format="pyarrow").materialize()
         keys_ref = None
+        keys_np: np.ndarray | None = None
         if keys_ds.count() <= _HIST_KEY_BROADCAST_MAX:
-            keys_ref = ray.put(np.unique(
-                keys_ds.to_pandas()["kh"].to_numpy().view(np.uint64)))
+            keys_np = np.unique(
+                keys_ds.to_pandas()["kh"].to_numpy().view(np.uint64))
+            keys_ref = ray.put(keys_np)
         # over the guard: delta ≈ store → ship history unfiltered (correct)
 
-        def _hist_explode(b: pa.Table) -> pa.Table:
-            t = _explode_candidates(
-                score_parse_batch(b), cfg.n_buckets, neartext=cfg.neartext,
-                neartext_bands=cfg.neartext_bands, emit_base=False,
-            )
+        def _key_filter(t: pa.Table) -> pa.Table:
             if t.num_rows and keys_ref is not None:
                 keys = ray.get(keys_ref)
-                h = _group_hash(t)
+                h = _group_block_hash(t)
                 if len(keys):
                     pos = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
                     t = t.filter(pa.array(keys[pos] == h))
@@ -951,8 +1124,33 @@ def score_documents(
             return t.append_column(
                 "is_hist", pa.array(np.ones(t.num_rows, dtype=bool)))
 
-        src = src.union(read_documents(history_path).map_batches(
-            _hist_explode, batch_format="pyarrow"))
+        if history_path is not None:
+
+            def _hist_explode(b: pa.Table) -> pa.Table:
+                return _key_filter(_explode_candidates(
+                    score_parse_batch(b), cfg.n_buckets,
+                    neartext=cfg.neartext,
+                    neartext_bands=cfg.neartext_bands, emit_base=False,
+                ))
+
+            src = src.union(read_documents(history_path).map_batches(
+                _hist_explode, batch_format="pyarrow"))
+        else:
+            # candidate-store chain: probe each previous run's store_index
+            # with the delta's group-key hashes and read ONLY the touched
+            # store fragments — the store's documents are never re-parsed
+            hist_files, prune_stats = _prune_store_files(
+                prev_store_dirs, keys_np, cfg)
+            timings["store_index_probe_stats"] = prune_stats
+            _mark("store_index_probe")
+
+            def _stored_explode(t: pa.Table) -> pa.Table:
+                return _key_filter(
+                    _store_explode(t, cfg).drop_columns(["neartext_sig"]))
+
+            if hist_files:
+                src = src.union(rd.read_parquet(hist_files).map_batches(
+                    _stored_explode, batch_format="pyarrow"))
 
     decisions = (
         src
@@ -1109,5 +1307,22 @@ def score_documents(
             **counts,
         }, sort_keys=True) + "\n")
 
+    # lineage manifest: the candidate-store chain a later delta run scores
+    # against (prev chain + this run's store), plus the explode config the
+    # chain's persisted group keys were built with
+    manifest = {"lineage": {
+        "documents_path": documents_path,
+        "profiles_path": profiles_path,
+        "prev_run_dir": prev_run_dir,
+        "history_path": history_path,
+        "store_dirs": prev_store_dirs + (
+            [store_dir] if cfg.persist_store else []),
+        "explode_config": explode_cfg,
+        "engine_version": "0.1.0",
+    }}
+    with open(os.path.join(run_dir, "manifest.json"), "w") as f:
+        _mjson.dump(manifest, f, indent=1, sort_keys=True)
+
     return {"decisions": decisions_dir, "cases": cases_path, "audit": audit_path,
+            "manifest": os.path.join(run_dir, "manifest.json"),
             "timings": timings, **counts}

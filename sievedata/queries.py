@@ -1803,11 +1803,13 @@ ORDER BY a, b
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal image pipeline with REAL decode: deterministic BMP
-    payloads (seeded per doc) → actor-pool decode → 16-dim image features
-    (dims, channel stats, luminance histogram).  The BMP codec is
-    pure-numpy (functions/codecs.py); compressed formats stay stubbed."""
-    from sievedata.functions.media import MediaFeatureExtractor, synth_bmp
+    """Multimodal image pipeline with REAL decode: deterministic BMP and
+    PNG payloads (seeded per doc; even ids → BMP, odd → PNG with a mixed
+    per-row filter set) → actor-pool decode → 16-dim image features (dims,
+    channel stats, luminance histogram).  Both codecs are pure numpy +
+    stdlib zlib (functions/codecs.py); JPEG/MP4 stay stubbed."""
+    from sievedata.functions.media import (MediaFeatureExtractor, synth_bmp,
+                                           synth_png)
 
     def to_media(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -1815,8 +1817,10 @@ def q_media_features(sf_dir: str):
             {
                 "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
                 "kind": pa.array(["image"] * t.num_rows, pa.string()),
-                "payload": pa.array([synth_bmp(int(d)) for d in ids],
-                                    pa.binary()),
+                "payload": pa.array(
+                    [synth_bmp(int(d)) if int(d) % 2 == 0
+                     else synth_png(int(d)) for d in ids],
+                    pa.binary()),
             }
         )
 
@@ -1864,20 +1868,22 @@ def q_media_audio(sf_dir: str):
 
 
 def q_media_resize(sf_dir: str):
-    """Multimodal resize with REAL codec work: deterministic BMP payloads
-    → actor-pool decode → nearest-neighbor resize → BMP re-encode
-    (pure-numpy, functions/codecs.py).  Returns id, kind, dims and
-    thumbnail size — not the raw bytes — so the driver's rows check stays
-    cheap."""
-    from sievedata.functions.media import MediaResizer, synth_bmp
+    """Multimodal resize with REAL codec work: deterministic BMP/PNG
+    payloads (even/odd doc ids) → actor-pool decode → nearest-neighbor
+    resize → re-encode in the SAME container format (pure numpy + stdlib
+    zlib, functions/codecs.py).  Returns id, kind, dims and thumbnail size
+    — not the raw bytes — so the driver's rows check stays cheap."""
+    from sievedata.functions.media import MediaResizer, synth_bmp, synth_png
 
     def to_media(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "media_id": pc.cast(t["doc_id"].combine_chunks(), pa.string()),
             "kind": pa.array(["image"] * t.num_rows, pa.string()),
-            "payload": pa.array([synth_bmp(int(d)) for d in ids],
-                                pa.binary()),
+            "payload": pa.array(
+                [synth_bmp(int(d)) if int(d) % 2 == 0 else synth_png(int(d))
+                 for d in ids],
+                pa.binary()),
         })
 
     def summarize(t: pa.Table) -> pa.Table:
@@ -5736,11 +5742,13 @@ ORDER BY doc_id
 
 def q_image_phash_dups(sf_dir: str, group_mod: int = 64, jitter_mod: int = 3):
     """Multimodal near-dup image grouping via 64-bit average-hash (aHash):
-    synthesize one REAL 24-bit BMP per document (base image seeded by
-    ``doc_id % group_mod``, then a per-doc uniform brightness shift of
-    ``doc_id % jitter_mod`` — so group members are byte-DISTINCT payloads),
+    synthesize one REAL image per document — 24-bit BMP for even ids, 8-bit
+    PNG for odd (base image seeded by ``doc_id % group_mod``, then a
+    per-doc uniform brightness shift of ``doc_id % jitter_mod`` — so group
+    members are byte-DISTINCT payloads in MIXED container formats),
     decode → brightness-invariant aHash → hash-group.  Exact byte dedup
-    cannot group these; the perceptual hash can, and ``distinct_payloads``
+    cannot group these (different bytes, different containers); the
+    perceptual hash groups them across formats, and ``distinct_payloads``
     proves it (1 ⇔ the group holds ≥2 different byte payloads).
 
     Scale shape: one map_batches decode+hash pass (per-row loop documented
@@ -5752,7 +5760,8 @@ def q_image_phash_dups(sf_dir: str, group_mod: int = 64, jitter_mod: int = 3):
 
     from ray.data.aggregate import Count, Max, Min
 
-    from sievedata.functions.codecs import ahash64, bmp_decode, bmp_encode
+    from sievedata.functions.codecs import (ahash64, bmp_decode, bmp_encode,
+                                            png_decode, png_encode)
     from sievedata.functions.media import synth_bmp
 
     docs = _rp(sf_dir, "documents", ["doc_id"])
@@ -5765,8 +5774,13 @@ def q_image_phash_dups(sf_dir: str, group_mod: int = 64, jitter_mod: int = 3):
             img = bmp_decode(synth_bmp(int(d) % group_mod))
             img = np.clip(img.astype(np.int16) + int(d) % jitter_mod,
                           0, 255).astype(np.uint8)
-            payload = bmp_encode(img)
-            ph[i] = np.int64(np.uint64(ahash64(bmp_decode(payload))))
+            if int(d) % 2 == 0:
+                payload = bmp_encode(img)
+                decoded = bmp_decode(payload)
+            else:
+                payload = png_encode(img, filters=int(d) % 5)
+                decoded = png_decode(payload)
+            ph[i] = np.int64(np.uint64(ahash64(decoded)))
             pk[i] = np.frombuffer(
                 hashlib.sha256(payload).digest()[:8], "<i8")[0]
         return pa.table({

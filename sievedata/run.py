@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="existing invoice-store path: score ONLY --input "
                          "docs, with history docs as candidates (pruned to "
                          "the groups the delta touches)")
+    ss.add_argument("--prev-run", default=None,
+                    help="previous score run_dir: score ONLY --input docs "
+                         "against the chain's PERSISTED candidate store "
+                         "(store_index-pruned; no re-parse of the store)")
     ss.add_argument("--profiles", required=True)
     ss.add_argument("--bloom", required=True)
     ss.add_argument("--run-dir", required=True)
@@ -136,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.profiles, args.bloom, args.run_dir,
                 cfg=cfg, resume=not args.no_resume,
                 history_path=args.history,
+                prev_run_dir=args.prev_run,
             )
         elif args.cmd == "shard":
             from sievedata.pipelines.shard import shard_corpus

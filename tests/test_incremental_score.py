@@ -107,3 +107,77 @@ def test_history_scoring_scales_with_delta(ray_session, tmp_path):
         os.path.join(base, "run_hist"), resume=False, history_path=d0)
     # both score exactly the delta docs
     assert solo["n_docs"] == withhist["n_docs"]
+
+
+def test_store_chain_scoring_without_store_documents(ray_session, tmp_path):
+    """prev_run_dir mode: the delta scores against the previous run's
+    PERSISTED candidate store (store/ + store_index/).  The store's raw
+    documents are deleted before the delta run — proof that no document of
+    the store is re-parsed or even opened — and decisions still byte-match
+    the full run restricted to the delta docs."""
+    import shutil
+
+    from sievedata.fixtures import generate_fixture
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.score import score_documents
+
+    base = str(tmp_path)
+    generate_fixture(os.path.join(base, "fx"), n_docs=1600, n_vendors=16,
+                     seed=42)
+    prof = build_profiles(
+        os.path.join(base, "fx", "baseline.parquet"),
+        os.path.join(base, "fx", "media_catalog.parquet"),
+        os.path.join(base, "prof"))
+
+    full_dir = os.path.join(base, "docs_full")
+    names = _split_documents(
+        os.path.join(base, "fx", "documents.parquet"), full_dir,
+        fracs=(0.75, 0.25))
+    hist_dir = os.path.join(base, "docs_hist")
+    delta_dir = os.path.join(base, "docs_delta")
+    os.makedirs(hist_dir)
+    os.makedirs(delta_dir)
+    shutil.copy(os.path.join(full_dir, names[0]),
+                os.path.join(hist_dir, names[0]))
+    shutil.copy(os.path.join(full_dir, names[1]),
+                os.path.join(delta_dir, names[1]))
+
+    run_full = score_documents(
+        full_dir, prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_full"), resume=False)
+    score_documents(
+        hist_dir, prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_base"), resume=False)
+
+    # the store's raw documents vanish: only the persisted store remains
+    shutil.rmtree(hist_dir)
+
+    run_delta = score_documents(
+        delta_dir, prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_chain"), resume=False,
+        prev_run_dir=os.path.join(base, "run_base"))
+    stats = run_delta["timings"]["store_index_probe_stats"]
+    assert stats["pruned"] is True and stats["indexed_runs"] == 1
+    assert 0 < stats["scanned_fragments"] <= stats["total_fragments"]
+
+    full = _decisions(os.path.join(base, "run_full"))
+    delta = _decisions(os.path.join(base, "run_chain"))
+    want = full[full["doc_id"].isin(set(delta["doc_id"]))].reset_index(drop=True)
+    assert len(delta) == len(want) and len(delta) > 0
+    pd.testing.assert_frame_equal(
+        delta[sorted(delta.columns)], want[sorted(want.columns)])
+
+    # the chain extends: the delta run's manifest now lists both stores
+    import json
+    with open(run_delta["manifest"]) as f:
+        lin = json.load(f)["lineage"]
+    assert len(lin["store_dirs"]) == 2
+
+    # config mismatch fails loudly instead of mis-keying the chain
+    from sievedata.pipelines.score import ScoreConfig
+    with pytest.raises(ValueError, match="config mismatch"):
+        score_documents(
+            delta_dir, prof["profiles"], prof["media_bloom"],
+            os.path.join(base, "run_badcfg"), resume=False,
+            prev_run_dir=os.path.join(base, "run_base"),
+            cfg=ScoreConfig(neartext_bands=4))
