@@ -615,6 +615,11 @@ class FinalizeDecisions:
         for pk, (rev, hold) in (cfg_dict.get("threshold_overrides") or {}).items():
             self.config.set(f"vendor:{pk}", "review_threshold", rev)
             self.config.set(f"vendor:{pk}", "hold_threshold", hold)
+        # ML-003 (requirements.md:258, architecture.md:223): partitions
+        # whose drift monitor breached fall back to RULES-ONLY scoring —
+        # model probabilities are suppressed; deterministic rules + anomaly
+        # still decide
+        self.drift_breached = frozenset(cfg_dict.get("drift_breached") or ())
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from sievedata.kernels.anomaly import anomaly_score_vec
@@ -652,9 +657,18 @@ class FinalizeDecisions:
         is_credit = merged["is_credit"].eq(True).to_numpy()  # NaN → False, no downcast warning
         is_outlier = is_outlier & ~is_credit
 
+        # ML-003 rules-only fallback: zero the MODEL probabilities for
+        # drift-breached partitions before fusion (the logistic model was
+        # fit on the pre-drift distribution, so its probabilities are
+        # untrusted there); anomaly + bank-change stay, and the HOLD rules
+        # escalate the decision below exactly as app/rules.py would
+        suppressed = (
+            merged["partition_key"].isin(self.drift_breached).to_numpy()
+            if self.drift_breached else np.zeros(len(merged), dtype=bool))
         risk = fuse_scores_vec(
-            merged["dup_prob"].to_numpy(), anom_prob, bank_change,
-            merged["text_dup_prob"].to_numpy(),
+            np.where(suppressed, 0.0, merged["dup_prob"].to_numpy()),
+            anom_prob, bank_change,
+            np.where(suppressed, 0.0, merged["text_dup_prob"].to_numpy()),
         )
         # per-partition thresholds via the layered scope chain, vectorized
         # (one lookup per distinct vendor in the group)
@@ -687,6 +701,14 @@ class FinalizeDecisions:
             | (top_jaccard >= PDF_JACCARD_THRESHOLD)
         )
 
+        # rules-only escalation (RR-005 strictest outcome): in a breached
+        # partition the HOLD rules (RR-001/002/003) still force HOLD even
+        # though the model's score contribution is gone
+        if suppressed.any():
+            decision = np.where(
+                suppressed & (exact_invnum | same_po_near | pdf_dup),
+                "HOLD", decision)
+
         # vectorized ordered masked-concat (code order fixed → the ordered
         # dedup of main.py:326 is a no-op here)
         code_masks = [
@@ -695,6 +717,7 @@ class FinalizeDecisions:
             (pdf_dup, "PDF_NEAR_DUP"),
             (bank_change, "BANK_CHANGE"),
             (is_outlier, "UNIT_PRICE_OUTLIER"),
+            (suppressed, "MODEL_SUPPRESSED_DRIFT"),
         ]
         parts = np.empty((len(code_masks), len(merged)), dtype=object)
         for r, (mask, code) in enumerate(code_masks):
@@ -795,6 +818,7 @@ def _make_finalize_fn(profiles_ref, bloom_ref, cfg_dict: dict):
         tuple(sorted((cfg_dict.get("threshold_overrides") or {}).items())),
         tuple(sorted((k, repr(v)) for k, v in cfg_store._entries.items()))
         if cfg_store is not None else (),
+        tuple(cfg_dict.get("drift_breached") or ()),
     )
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -921,6 +945,7 @@ def score_documents(
     resume: bool = True,
     history_path: str | None = None,
     prev_run_dir: str | None = None,
+    drift_verdicts_path: str | None = None,
 ) -> dict:
     """Run the batch scoring pipeline; writes decisions/ parquet + summary.
 
@@ -940,7 +965,13 @@ def score_documents(
     history side is the persisted candidate-store CHAIN of the previous
     runs: each store_index is probed with the delta's group-key hashes and
     only the touched store fragments are read — no document of the store
-    is parsed (or even opened) again.  Same equivalence contract."""
+    is parsed (or even opened) again.  Same equivalence contract.
+
+    With ``drift_verdicts_path`` (a validate run's verdicts.parquet),
+    partitions whose drift monitor breached are scored RULES-ONLY
+    (ML-003, requirements.md:258): model probabilities are suppressed,
+    the HOLD rules still escalate, every affected decision carries
+    MODEL_SUPPRESSED_DRIFT, and the manifest stamps the partitions."""
     import pyarrow.parquet as pq
     import ray
 
@@ -1053,6 +1084,18 @@ def score_documents(
         _mark("store_index")
 
     hist_mode = history_path is not None or bool(prev_store_dirs)
+
+    # ML-003: drift-breached partitions from a validate run's verdicts
+    drift_breached: tuple = ()
+    if drift_verdicts_path is not None:
+        from sievedata.schema import CHECK_DRIFT
+
+        vdf = pq.read_table(
+            drift_verdicts_path,
+            columns=["partition_key", "check_name", "passed"]).to_pandas()
+        drift_breached = tuple(sorted(
+            vdf.loc[(vdf["check_name"] == CHECK_DRIFT) & (~vdf["passed"]),
+                    "partition_key"].astype(str).unique()))
 
     prof_df = pq.read_table(profiles_path).to_pandas()
     profile_stats = {
@@ -1169,7 +1212,8 @@ def score_documents(
                 {"review_threshold": cfg.review_threshold,
                  "hold_threshold": cfg.hold_threshold,
                  "threshold_overrides": cfg.threshold_overrides,
-                 "config": cfg.config},
+                 "config": cfg.config,
+                 "drift_breached": drift_breached},
             ),
             batch_format="pandas",
         )
@@ -1318,6 +1362,8 @@ def score_documents(
         "store_dirs": prev_store_dirs + (
             [store_dir] if cfg.persist_store else []),
         "explode_config": explode_cfg,
+        "drift_verdicts_path": drift_verdicts_path,
+        "model_suppressed_partitions": list(drift_breached),
         "engine_version": "0.1.0",
     }}
     with open(os.path.join(run_dir, "manifest.json"), "w") as f:

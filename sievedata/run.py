@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="previous score run_dir: score ONLY --input docs "
                          "against the chain's PERSISTED candidate store "
                          "(store_index-pruned; no re-parse of the store)")
+    ss.add_argument("--drift-verdicts", default=None,
+                    help="validate run verdicts.parquet: partitions whose "
+                         "drift monitor breached are scored RULES-ONLY "
+                         "(ML-003 fallback; stamped in the manifest)")
     ss.add_argument("--profiles", required=True)
     ss.add_argument("--bloom", required=True)
     ss.add_argument("--run-dir", required=True)
@@ -141,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                 cfg=cfg, resume=not args.no_resume,
                 history_path=args.history,
                 prev_run_dir=args.prev_run,
+                drift_verdicts_path=args.drift_verdicts,
             )
         elif args.cmd == "shard":
             from sievedata.pipelines.shard import shard_corpus
