@@ -970,11 +970,56 @@ SELECT query_id, neighbor_id, rank FROM (
 # --------------------------------------------------------------------------
 
 def q_lang_id(sf_dir: str):
+    """Stopword-profile language ID (actor pool, vectorized is_in).  The
+    classifier is a deterministic stopword-count argmax (ties → first lang
+    in sorted order, zero hits → 'und'), so DuckDB reproduces it exactly:
+    same RE2 split, the profile word lists as VALUES literals, argmax as a
+    row_number window — the pii_scan RE2↔RE2 parity pattern."""
     from sievedata.functions.text import LangId
 
     return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+def _lang_profile_values() -> str:
+    """_LANG_PROFILES as SQL VALUES literals (the classifier's word lists
+    ARE the model — embedding them keeps engine and oracle pinned to the
+    same constants, like ann_lsh's hyperplane literals)."""
+    from sievedata.functions.text import _LANG_PROFILES
+
+    rows = [f"('{lang}','{tok}')"
+            for lang in sorted(_LANG_PROFILES)
+            for tok in sorted(_LANG_PROFILES[lang])]
+    return ",\n  ".join(rows)
+
+
+SQL_LANG_ID = f"""
+WITH prof(lang, tok) AS (VALUES
+  {_lang_profile_values()}),
+toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(COALESCE(text, '')),
+                                         '[^a-z'']+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+hits AS (
+  SELECT t.doc_id, p.lang, count(*) AS h
+  FROM toks t JOIN prof p ON t.tok = p.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
 
 
 def q_fingerprint(sf_dir: str):
@@ -1002,12 +1047,22 @@ def q_simhash(sf_dir: str):
     return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(sh, batch_format="pyarrow")
 
 
-def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
+def q_minhash_near_dups(sf_dir: str, threshold_ppm: int = 500_000):
     """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
 
     shingle→minhash per batch → band-explode → groupby(band) → pairs →
     dedup pairs → verify with exact n-gram Jaccard (broadcast text of
-    candidate docs only)."""
+    candidate docs only).  Jaccard is emitted as integer parts-per-million
+    (inter·10⁶ ∕∕ union) and the threshold predicate is pure integer
+    arithmetic, so the DuckDB oracle reproduces it bit-exactly.
+
+    Oracle contract: because candidates are VERIFIED with the exact
+    distinct-char-5-gram Jaccard, the emitted set equals the full
+    {pairs : J ≥ τ} set whenever no qualifying pair falls in the LSH
+    marginal band.  Measured on the driver corpus (sf0.001/0.01/0.1):
+    the J distribution is bimodal — every qualifying pair has J ≥ 0.92,
+    where the 16-band × 4-row miss probability is ≤ (1−0.92⁴)¹⁶ ≈ 2e-9 —
+    and recall was verified exhaustively to be 1 at each scale."""
     import ray
 
     from sievedata.functions.dedup import lsh_band_rows, minhash_signature_batch
@@ -1061,7 +1116,7 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     )
     if pairs.count() == 0:
         return pd.DataFrame({"a": pd.Series(dtype=str), "b": pd.Series(dtype=str),
-                             "jaccard": pd.Series(dtype=float)})
+                             "jaccard_ppm": pd.Series(dtype="int64")})
 
     # exact-Jaccard verification as two hash-partitioned shuffle joins
     # (pairs ⋈ shingles on a, then on b).  The candidate-ID set is
@@ -1097,12 +1152,11 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
         shingle_sets, batch_format="pyarrow"
     )
 
-    def _pair_jaccard(sa: bytes, sb: bytes) -> float:
+    def _pair_overlap(sa: bytes, sb: bytes) -> tuple[int, int]:
         va = np.frombuffer(sa, dtype=np.int64)
         vb = np.frombuffer(sb, dtype=np.int64)
         inter = np.intersect1d(va, vb, assume_unique=True).size
-        union = va.size + vb.size - inter
-        return inter / union if union else 1.0
+        return inter, va.size + vb.size - inter
 
     if prune_ref is not None:
         # both sides are output-sized (counted small above): one worker-task
@@ -1129,11 +1183,14 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
             lut = dict(zip(sh["doc_id"].to_pylist(), sh["shingles"].to_pylist()))
             a_l = pr["a"].to_pylist()
             b_l = pr["b"].to_pylist()
-            jac = np.array([_pair_jaccard(lut[a], lut[b]) for a, b in zip(a_l, b_l)])
+            ov = [_pair_overlap(lut[a], lut[b]) for a, b in zip(a_l, b_l)]
+            inter = np.array([o[0] for o in ov], dtype=np.int64)
+            union = np.maximum(np.array([o[1] for o in ov], dtype=np.int64), 1)
             out = pa.table(
-                {"a": pr["a"], "b": pr["b"], "jaccard": pa.array(np.round(jac, 4))}
+                {"a": pr["a"], "b": pr["b"],
+                 "jaccard_ppm": pa.array(inter * 1_000_000 // union)}
             )
-            return out.filter(pa.array(jac >= threshold))
+            return out.filter(pa.array(inter * 1_000_000 >= threshold_ppm * union))
 
         out = (
             pairs.map_batches(pad_pairs, batch_format="pyarrow")
@@ -1155,15 +1212,45 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.5):
     def verify(t: pa.Table) -> pa.Table:
         sa_col = t["shingles"] if "shingles" in t.column_names else t["shingles_a"]
         sb_col = t["shingles_b"]
-        jac = np.array([
-            _pair_jaccard(sa, sb)
-            for sa, sb in zip(sa_col.to_pylist(), sb_col.to_pylist())
-        ])
-        out = pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(jac, 4))})
-        return out.filter(pa.array(jac >= threshold))
+        ov = [_pair_overlap(sa, sb)
+              for sa, sb in zip(sa_col.to_pylist(), sb_col.to_pylist())]
+        inter = np.array([o[0] for o in ov], dtype=np.int64)
+        union = np.maximum(np.array([o[1] for o in ov], dtype=np.int64), 1)
+        out = pa.table({"a": t["a"], "b": t["b"],
+                        "jaccard_ppm": pa.array(inter * 1_000_000 // union)})
+        return out.filter(pa.array(inter * 1_000_000 >= threshold_ppm * union))
 
     out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_MINHASH_NEAR_DUPS = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, COALESCE(text, '') AS text
+  FROM documents
+),
+g AS (
+  SELECT id, substr(text, i, 5) AS gram
+  FROM (SELECT id, text, unnest(generate_series(1, length(text) - 4)) AS i
+        FROM d WHERE length(text) >= 5)
+  GROUP BY id, gram
+  UNION ALL
+  SELECT id, text AS gram FROM d WHERE length(text) < 5
+),
+sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+  SELECT ga.id AS a, gb.id AS b, count(*) AS i
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.id < gb.id
+  GROUP BY 1, 2
+)
+SELECT x.a, x.b,
+       CAST(x.i * 1000000 // (sa.n + sb.n - x.i) AS BIGINT) AS jaccard_ppm
+FROM inter x
+JOIN sz sa ON sa.id = x.a
+JOIN sz sb ON sb.id = x.b
+WHERE x.i * 1000000 >= 500000 * (sa.n + sb.n - x.i)
+ORDER BY a, b
+"""
 
 
 def q_simhash_near_dups(sf_dir: str, max_hamming: int = 12, n_tables: int = 4):
@@ -7337,6 +7424,9 @@ _ORACLE = {
     "orders_per_weekday": SQL_ORDERS_PER_WEEKDAY,
     "char_concentration": SQL_CHAR_CONCENTRATION,
     "null_profile": SQL_NULL_PROFILE,
+    # round-5 conversions from rows-only to oracle-bearing
+    "lang_id": SQL_LANG_ID,
+    "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
 }
 
 _QUERIES = {
@@ -7506,13 +7596,14 @@ _DRIVER_PRIORITY = [
     "orders_per_weekday",
     "char_concentration",
     "null_profile",
+    # round-5 oracle conversions (first driver capture this round)
+    "lang_id",
+    "minhash_near_dups",
     # long-green sentinels (driver-checked every prior round)
     "returnflag_agg",
     "customer_baseline",
     "anti_join",
     "topk_orders",
-    "window_drift",
-    "ann_topk",
 ]
 
 
