@@ -1049,6 +1049,47 @@ def _pin_violation_schema(t: pa.Table) -> pa.Table:
     })
 
 
+# violation reason → the §2 check family its count verdict rolls into
+_CHECK_OF_REASON = {
+    REASON_MISSING_FIELD: CHECK_SCHEMA,
+    REASON_EXACT_INVNUM: CHECK_DUPLICATE,
+    REASON_PDF_NEAR_DUP: CHECK_DUPLICATE,
+    REASON_SAME_PO_NEAR_TOTAL: CHECK_DUPLICATE,
+    REASON_BANK_CHANGE: CHECK_REFERENTIAL,
+    REASON_UNIT_PRICE_OUTLIER: CHECK_RANGE,
+}
+_COUNT_CHECKS = [CHECK_SCHEMA, CHECK_DUPLICATE, CHECK_REFERENTIAL, CHECK_RANGE]
+
+
+def _pad_count_cols(t: pa.Table) -> pa.Table:
+    """Pad a partials table with neutral count columns so it unions with
+    the violation-count partial rows in stage 3's single groupby."""
+    t = t.append_column("reason_code", pa.array([""] * t.num_rows, pa.string()))
+    return t.append_column(
+        "vcount", pa.array(np.zeros(t.num_rows, np.int64)))
+
+
+def _vio_count_partials(t: pa.Table) -> pa.Table:
+    """Per-batch (partition, reason) violation counts shaped as stage-3
+    union rows: the sketch columns are neutral (0 / [] / b'') so the sums
+    and register merges in the finalizer ignore them."""
+    df = t.select(["partition_key", "reason_code"]).to_pandas()
+    g = (df.groupby(["partition_key", "reason_code"], sort=False)
+         .size().reset_index(name="vcount"))
+    n = len(g)
+    return pa.table({
+        "partition_key": pa.array(g["partition_key"].astype(str), pa.string()),
+        "n_docs": pa.array(np.zeros(n, np.int64)),
+        "n_eligible": pa.array(np.zeros(n, np.int64)),
+        "bin_counts": pa.array([[]] * n, pa.list_(pa.int64())),
+        "span_sum": pa.array(np.zeros(n, np.int64)),
+        "hll_doc_id": pa.array([b""] * n, pa.binary()),
+        "hll_invnum": pa.array([b""] * n, pa.binary()),
+        "reason_code": pa.array(g["reason_code"].astype(str), pa.string()),
+        "vcount": pa.array(g["vcount"].to_numpy().astype(np.int64)),
+    })
+
+
 def _partition_partials(batch: pa.Table, edges_by_pk: dict[str, np.ndarray]) -> pa.Table:
     """Mergeable per-partition aggregates for drift + uniqueness + counts."""
     pk = np.asarray(batch.column("partition_key").to_numpy(zero_copy_only=False))
@@ -1106,9 +1147,23 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
     history.  Emitting both from the one groupby keeps stage 3 at a single
     shuffle; combining is the exact work the verdict math does anyway
     (integer sums, register max), so verdicts are bit-identical whether
-    finalize sees raw partials, the persisted combined row, or a mix."""
+    finalize sees raw partials, the persisted combined row, or a mix.
+
+    Round 5: the violation-COUNT verdicts (schema/duplicate/referential/
+    range) ride the SAME groupby — stage 2's violations enter the union as
+    (partition, reason, vcount) partial rows, and finalize emits their
+    per-check verdict rows plus row_kind='vio_count' rows (persisted as
+    vio_counts.parquet for the incremental chain).  The old stage 4 — a
+    separate driver-side violations read + pandas pivot — is gone; one
+    shuffle produces every verdict."""
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        vio = g[g["reason_code"] != ""]
+        g = g[g["reason_code"] == ""]
+        if not len(g):  # defensive: counts for a partition with no partials
+            g = vio.head(1).assign(
+                n_docs=0, n_eligible=0, span_sum=0,
+                bin_counts=[[]], hll_doc_id=b"", hll_invnum=b"")
         key = g["partition_key"].iloc[0]
         n_docs = int(g["n_docs"].sum())
         n_elig = int(g["n_eligible"].sum())
@@ -1166,6 +1221,17 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
             (key, CHECK_UNIQUENESS, bool(ratio >= cfg.uniqueness_min_ratio),
              n_docs, 0, float(ratio), f"hll_invnum={h_inv.cardinality():.1f}")
         )
+        # violation-count verdicts: per-reason sums rolled into their §2
+        # check family (exactly the old stage-4 pivot, now in-shuffle)
+        vc = (vio.groupby("reason_code", sort=False)["vcount"].sum()
+              if len(vio) else pd.Series(dtype="int64"))
+        per_check = {c: 0 for c in _COUNT_CHECKS}
+        for rc_, n_ in vc.items():
+            per_check[_CHECK_OF_REASON[rc_]] += int(n_)
+        for c in _COUNT_CHECKS:
+            rows.append((key, c, per_check[c] == 0, n_docs,
+                         int(per_check[c]), float(per_check[c]), ""))
+
         out = pd.DataFrame(
             rows,
             columns=["partition_key", "check_name", "passed", "n_docs",
@@ -1184,7 +1250,22 @@ def _make_partition_finalizer(profile_map: dict, cfg: ValidateConfig):
             "bin_counts": cur_counts.tolist(), "span_sum": span_sum,
             "hll_doc_id": h_doc.to_sparse(), "hll_invnum": h_inv.to_sparse(),
         }])
-        return pd.concat([out, partial], ignore_index=True)
+        out = pd.concat([out, partial], ignore_index=True)
+        out["reason_code"] = ""
+        out["vcount"] = 0
+        if len(vc):
+            vrows = vc.reset_index().rename(columns={"vcount": "vcount"})
+            vio_out = pd.DataFrame({
+                "partition_key": key, "check_name": "", "passed": True,
+                "n_docs": 0, "n_violations": 0, "metric": 0.0, "detail": "",
+                "row_kind": "vio_count", "n_eligible": 0,
+                "span_sum": 0, "hll_doc_id": b"", "hll_invnum": b"",
+                "reason_code": vrows["reason_code"],
+                "vcount": vrows["vcount"].astype("int64"),
+            })
+            vio_out["bin_counts"] = [[]] * len(vio_out)
+            out = pd.concat([out, vio_out], ignore_index=True)
+        return out
 
     return finalize
 
@@ -1617,15 +1698,17 @@ def validate_documents(
         import ray.data as rd
 
         if inc and not new_files:
-            partials_ds = rd.from_arrow(
-                pq.read_table(os.path.join(prev_run_dir, "partials.parquet")))
+            partials_ds = rd.from_arrow(_pad_count_cols(
+                pq.read_table(os.path.join(prev_run_dir, "partials.parquet"))))
         else:
             partials_ds = (
                 read_documents(
                     checked_dir,
                     columns=["doc_id", "partition_key", "invnum_norm", "total", "eligible", "n_spans"],
                 )
-                .map_batches(lambda b: _partition_partials(b, edges_by_pk), batch_format="pyarrow")
+                .map_batches(
+                    lambda b: _pad_count_cols(_partition_partials(b, edges_by_pk)),
+                    batch_format="pyarrow")
             )
             if inc:
                 # merge-don't-recompute: the previous run's combined partials
@@ -1635,7 +1718,39 @@ def validate_documents(
                 prev_pt = pq.read_table(
                     os.path.join(prev_run_dir, "partials.parquet"))
                 if prev_pt.num_rows:
-                    partials_ds = partials_ds.union(rd.from_arrow(prev_pt))
+                    partials_ds = partials_ds.union(
+                        rd.from_arrow(_pad_count_cols(prev_pt)))
+        # violation counts ride the SAME shuffle (the old stage 4's driver
+        # read + pandas pivot, now distributed partial rows in this job)
+        vio_files = _list_parquet_files(violations_dir)
+        if vio_files:
+            partials_ds = partials_ds.union(
+                rd.read_parquet(vio_files,
+                                columns=["partition_key", "reason_code"])
+                .map_batches(_vio_count_partials, batch_format="pyarrow"))
+        if inc:
+            # delta counts + the previous run's persisted totals
+            # (violations/ holds only NEW docs' rows, so the in-shuffle sum
+            # equals a full-run count)
+            prev_vc = pq.read_table(
+                os.path.join(prev_run_dir, "vio_counts.parquet")).to_pandas()
+            if len(prev_vc):
+                n = len(prev_vc)
+                prev_rows = pa.table({
+                    "partition_key": pa.array(
+                        prev_vc["partition_key"].astype(str), pa.string()),
+                    "n_docs": pa.array(np.zeros(n, np.int64)),
+                    "n_eligible": pa.array(np.zeros(n, np.int64)),
+                    "bin_counts": pa.array([[]] * n, pa.list_(pa.int64())),
+                    "span_sum": pa.array(np.zeros(n, np.int64)),
+                    "hll_doc_id": pa.array([b""] * n, pa.binary()),
+                    "hll_invnum": pa.array([b""] * n, pa.binary()),
+                    "reason_code": pa.array(
+                        prev_vc["reason_code"].astype(str), pa.string()),
+                    "vcount": pa.array(
+                        prev_vc["count()"].to_numpy().astype(np.int64)),
+                })
+                partials_ds = partials_ds.union(rd.from_arrow(prev_rows))
         return (
             partials_ds
             .groupby("partition_key")
@@ -1645,11 +1760,20 @@ def validate_documents(
 
     _stage2_violations()
     _mark("stage2_violations")
+    # Stage 3 is the LAST Dataset job: its single partition_key groupby
+    # emits the sketch verdicts, the violation-count verdicts (the former
+    # stage 4), the combined partial rows, and the per-reason count rows
+    # for the incremental chain — the driver only splits and writes.
     stage3_rows = _stage3_verdicts()
     partials_out = stage3_rows[stage3_rows["row_kind"] == "partial"]
-    part_verdicts = stage3_rows[stage3_rows["row_kind"] == "verdict"].drop(
-        columns=["row_kind", "n_eligible", "bin_counts", "span_sum",
-                 "hll_doc_id", "hll_invnum"]).reset_index(drop=True)
+    vio_rows = stage3_rows[stage3_rows["row_kind"] == "vio_count"]
+    verdicts = (
+        stage3_rows[stage3_rows["row_kind"] == "verdict"]
+        .drop(columns=["row_kind", "n_eligible", "bin_counts", "span_sum",
+                       "hll_doc_id", "hll_invnum", "reason_code", "vcount"])
+        .sort_values(["partition_key", "check_name"], kind="mergesort")
+        .reset_index(drop=True)
+    )
     pq.write_table(
         pa.table({
             "partition_key": pa.array(partials_out["partition_key"], pa.string()),
@@ -1663,89 +1787,16 @@ def validate_documents(
         }),
         os.path.join(run_dir, "partials.parquet"),
     )
-    _mark("stage3_partials")
-
-    # Stage 4: assemble verdicts per (partition, check) from violation
-    # counts.  Small outputs (the common case) count on the driver with one
-    # pruned pyarrow read — a Dataset job costs ~3 s of fixed plan/shuffle
-    # overhead that never amortizes here; pathological O(docs) violation
-    # tables (> the size guard) fall back to the distributed groupby-count,
-    # where only O(partitions × reason codes) count rows reach the driver.
-    vio_files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(violations_dir)
-        for f in fs if f.endswith(".parquet")
-    ]
-    vio_bytes = sum(os.path.getsize(f) for f in vio_files)
-    if vio_bytes <= 256 * 1024 * 1024:
-        vt = pa.concat_tables([
-            pq.read_table(f, columns=["partition_key", "reason_code"])
-            for f in vio_files
-        ]) if vio_files else pa.table({"partition_key": pa.array([], pa.string()),
-                                       "reason_code": pa.array([], pa.string())})
-        vio_counts = (
-            vt.to_pandas().groupby(["partition_key", "reason_code"], sort=False)
-            .size().rename("count()").reset_index()
-        )
-    else:
-        vio_counts = (
-            read_documents(violations_dir, columns=["partition_key", "reason_code"])
-            .groupby(["partition_key", "reason_code"])
-            .count()
-            .to_pandas()
-        )
-    if inc:
-        # delta counts + the previous run's persisted totals (violations/
-        # holds only NEW docs' rows, so the sum equals a full-run count)
-        prev_vc = pq.read_table(
-            os.path.join(prev_run_dir, "vio_counts.parquet")).to_pandas()
-        vio_counts = (
-            pd.concat([vio_counts, prev_vc], ignore_index=True)
-            .groupby(["partition_key", "reason_code"], sort=False)["count()"]
-            .sum().reset_index()
-        )
     pq.write_table(
         pa.table({
-            "partition_key": pa.array(vio_counts["partition_key"], pa.string()),
-            "reason_code": pa.array(vio_counts["reason_code"], pa.string()),
-            "count()": pa.array(vio_counts["count()"].astype("int64")),
+            "partition_key": pa.array(vio_rows["partition_key"], pa.string()),
+            "reason_code": pa.array(vio_rows["reason_code"], pa.string()),
+            "count()": pa.array(vio_rows["vcount"].astype("int64")),
         }),
         os.path.join(run_dir, "vio_counts.parquet"),
     )
-    n_docs_by_pk = part_verdicts.groupby("partition_key")["n_docs"].max().to_dict()
-    check_of_reason = {
-        REASON_MISSING_FIELD: CHECK_SCHEMA,
-        REASON_EXACT_INVNUM: CHECK_DUPLICATE,
-        REASON_PDF_NEAR_DUP: CHECK_DUPLICATE,
-        REASON_SAME_PO_NEAR_TOTAL: CHECK_DUPLICATE,
-        REASON_BANK_CHANGE: CHECK_REFERENTIAL,
-        REASON_UNIT_PRICE_OUTLIER: CHECK_RANGE,
-    }
-    n_violations_total = int(vio_counts["count()"].sum()) if len(vio_counts) else 0
-    vio_counts["check_name"] = vio_counts["reason_code"].map(check_of_reason)
-    checks = [CHECK_SCHEMA, CHECK_DUPLICATE, CHECK_REFERENTIAL, CHECK_RANGE]
-    pivot = (
-        vio_counts.groupby(["partition_key", "check_name"])["count()"].sum().unstack(fill_value=0)
-        if len(vio_counts)
-        else pd.DataFrame()
-    )
-    pivot = pivot.reindex(
-        index=sorted(n_docs_by_pk), columns=checks, fill_value=0
-    ).fillna(0).astype(int)
-    count_rows = pivot.stack().rename("n_violations").reset_index()
-    count_rows.columns = ["partition_key", "check_name", "n_violations"]
-    count_rows["n_docs"] = count_rows["partition_key"].map(n_docs_by_pk).astype(int)
-    count_rows["passed"] = count_rows["n_violations"] == 0
-    count_rows["metric"] = count_rows["n_violations"].astype(float)
-    count_rows["detail"] = ""
-    verdicts = pd.concat(
-        [
-            count_rows[["partition_key", "check_name", "passed", "n_docs",
-                        "n_violations", "metric", "detail"]],
-            part_verdicts,
-        ],
-        ignore_index=True,
-    ).sort_values(["partition_key", "check_name"], kind="mergesort").reset_index(drop=True)
+    n_violations_total = int(vio_rows["vcount"].sum()) if len(vio_rows) else 0
+    n_docs_by_pk = verdicts.groupby("partition_key")["n_docs"].max().to_dict()
     pq.write_table(pa.Table.from_pandas(verdicts, preserve_index=False), verdicts_path)
 
     # per-partition manifest: lineage + metrics (resumable-output contract)
@@ -1781,7 +1832,7 @@ def validate_documents(
     }
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    _mark("stage4_assemble")
+    _mark("stage3_verdicts")
 
     return {
         "timings": timings,
