@@ -24,6 +24,11 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sievedata")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--address", default=None,
+                   help="Ray cluster address (e.g. 'auto' or 127.0.0.1:6379 "
+                        "under ray job submit / ray start).  Default: "
+                        "$RAY_ADDRESS or a throwaway local session; "
+                        "--num-cpus applies only to local sessions")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("profile")
@@ -105,13 +110,14 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address=os.environ.get("RAY_ADDRESS", "local"),
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        addr = args.address or os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(address=addr, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if addr == "local":
+            # spin up a throwaway single-node session; on a real cluster
+            # (--address / ray job submit) resources come from the nodes
+            kwargs.update(num_cpus=args.num_cpus, include_dashboard=False)
+        ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
