@@ -1360,7 +1360,16 @@ def validate_documents(
             "po_window_days": cfg.po_window_days,
             "psi_threshold": cfg.psi_threshold,
             "uniqueness_min_ratio": cfg.uniqueness_min_ratio,
+            # the dup-group hashes persisted in checked/ + group_index/
+            # (neartext bands) must line up across the chain
+            "neartext": cfg.neartext,
+            "neartext_bands": cfg.neartext_bands,
         }
+        # manifests from engine versions before these keys existed recorded
+        # the 5-key dict; compare on the shared keys (banding then defaults
+        # to the dataclass values those runs used)
+        if set(prev_cfg) < set(cur_cfg):
+            cur_cfg = {k: v for k, v in cur_cfg.items() if k in prev_cfg}
         if prev_cfg != cur_cfg:
             raise ValueError(
                 f"incremental validate config mismatch vs previous run: "
@@ -1815,6 +1824,8 @@ def validate_documents(
                 "po_window_days": cfg.po_window_days,
                 "psi_threshold": cfg.psi_threshold,
                 "uniqueness_min_ratio": cfg.uniqueness_min_ratio,
+                "neartext": cfg.neartext,
+                "neartext_bands": cfg.neartext_bands,
             },
         },
         "partitions": {

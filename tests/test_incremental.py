@@ -265,3 +265,19 @@ def test_group_index_fallback_without_index(inc_env):
     pd.testing.assert_frame_equal(
         _violations(os.path.join(base, "run_noidx_delta")),
         _violations(os.path.join(base, "run_b")))
+
+
+def test_incremental_banding_mismatch_fails(inc_env):
+    """The persisted dup-group hashes depend on the neartext banding; a
+    delta run with different bands must refuse to merge the chain."""
+    from sievedata.pipelines.validate import ValidateConfig
+
+    prof = inc_env["prof"]
+    base = inc_env["base"]
+    validate_documents = inc_env["validate"]
+    with pytest.raises(ValueError, match="config mismatch"):
+        validate_documents(
+            inc_env["grow_dir"], prof["profiles"], prof["media_bloom"],
+            os.path.join(base, "run_badbands"), resume=False,
+            prev_run_dir=os.path.join(base, "run_a"),
+            cfg=ValidateConfig(neartext_bands=4))
