@@ -55,6 +55,22 @@ def test_two_node_cluster_validate_matches_local(tmp_path):
     # short path: Ray's plasma socket lives under temp-dir and AF_UNIX
     # paths are capped at ~107 chars (pytest tmp paths overflow it)
     tmpdir = f"/tmp/sieveray_mn_{os.getpid()}"
+
+    def _stop_cluster():
+        # NOT `ray stop --force`: that kills EVERY Ray process on the host,
+        # including the session-scoped local Ray's raylet — whose death
+        # makes the in-process driver (this pytest process) fatally exit
+        # mid-suite.  Kill only daemons whose cmdline references OUR
+        # cluster (its temp dir or its GCS port).
+        import psutil
+
+        for p in psutil.process_iter(["pid", "cmdline"]):
+            try:
+                cmd = " ".join(p.info["cmdline"] or [])
+                if tmpdir in cmd or f":{PORT}" in cmd:
+                    p.kill()
+            except (psutil.NoSuchProcess, psutil.AccessDenied):
+                pass
     try:
         _run(["ray", "start", "--head", "--num-cpus", "2",
               "--port", str(PORT), "--include-dashboard", "false",
@@ -75,8 +91,7 @@ def test_two_node_cluster_validate_matches_local(tmp_path):
         _run([py, "-m", "sievedata.run", "--address", addr, *common,
               "--run-dir", f"{base}/run_cluster"], env=env, cwd="/root/repo")
     finally:
-        subprocess.run(["ray", "stop", "--force"], capture_output=True,
-                       timeout=120)
+        _stop_cluster()
     _run([py, "-m", "sievedata.run", *common,
           "--run-dir", f"{base}/run_local"], env=env, cwd="/root/repo")
 
