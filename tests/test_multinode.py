@@ -90,13 +90,32 @@ def test_two_node_cluster_validate_matches_local(tmp_path):
                   "--bloom", f"{prof}/media_bloom.bin", "--no-resume"]
         _run([py, "-m", "sievedata.run", "--address", addr, *common,
               "--run-dir", f"{base}/run_cluster"], env=env, cwd="/root/repo")
+        s_common = ["score", "--input", f"{fx}/documents.parquet",
+                    "--profiles", f"{prof}/profiles.parquet",
+                    "--bloom", f"{prof}/media_bloom.bin", "--no-resume"]
+        _run([py, "-m", "sievedata.run", "--address", addr, *s_common,
+              "--run-dir", f"{base}/srun_cluster"], env=env, cwd="/root/repo")
     finally:
         _stop_cluster()
     _run([py, "-m", "sievedata.run", *common,
           "--run-dir", f"{base}/run_local"], env=env, cwd="/root/repo")
+    _run([py, "-m", "sievedata.run", *s_common,
+          "--run-dir", f"{base}/srun_local"], env=env, cwd="/root/repo")
 
     pd.testing.assert_frame_equal(
         _verdicts(f"{base}/run_cluster/verdicts.parquet"),
         _verdicts(f"{base}/run_local/verdicts.parquet"))
     pd.testing.assert_frame_equal(
         _violations(f"{base}/run_cluster"), _violations(f"{base}/run_local"))
+
+    def _decisions(run_dir):
+        files = [os.path.join(r, f)
+                 for r, _, fs in os.walk(os.path.join(run_dir, "decisions"))
+                 for f in fs if f.endswith(".parquet")]
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                       ignore_index=True)
+        return (df.sort_values("doc_id", kind="mergesort")
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(
+        _decisions(f"{base}/srun_cluster"), _decisions(f"{base}/srun_local"))
