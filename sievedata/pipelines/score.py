@@ -991,11 +991,16 @@ def score_documents(
 
     os.makedirs(run_dir, exist_ok=True)
     decisions_dir = os.path.join(run_dir, "decisions")
-    if resume and stage_done(decisions_dir):
+    # the manifest is the LAST artifact; a run killed between the decisions
+    # commit and the manifest write must fall through so the lineage chain
+    # (store_dirs) gets recorded on resume
+    if (resume and stage_done(decisions_dir)
+            and os.path.exists(os.path.join(run_dir, "manifest.json"))):
         counts = _decision_counts(decisions_dir)
         return {"decisions": decisions_dir,
                 "cases": os.path.join(run_dir, "cases.parquet"),
                 "audit": os.path.join(run_dir, "audit_log.jsonl"),
+                "manifest": os.path.join(run_dir, "manifest.json"),
                 **counts}
 
     import json as _mjson
@@ -1218,8 +1223,9 @@ def score_documents(
             batch_format="pandas",
         )
     )
-    with commit_dir(decisions_dir) as tmp:
-        decisions.write_parquet(tmp)
+    if not (resume and stage_done(decisions_dir)):
+        with commit_dir(decisions_dir) as tmp:
+            decisions.write_parquet(tmp)
     _mark("decisions")
 
     # case sink (S6, app/case.py:16-50): OPEN case per HOLD/REVIEW decision
