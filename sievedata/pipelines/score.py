@@ -892,6 +892,111 @@ def _store_explode(t: pa.Table, cfg: "ScoreConfig") -> pa.Table:
         sig_col="neartext_sig")
 
 
+def _build_store_index(store_dir: str, store_index_dir: str,
+                       cfg: "ScoreConfig") -> None:
+    """Write store_index/ for a persisted candidate store: one row per
+    (store fragment, distinct 64-bit group-key hash), from one narrow
+    include_paths read of the store (no parse, no MinHash — the persisted
+    sig column short-circuits both)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sievedata.pipelines.validate import _list_parquet_files
+
+    def _index_rows(b: pa.Table) -> pa.Table:
+        paths = b.column("path").to_numpy(zero_copy_only=False)
+        body = b.drop_columns(["path"])
+        files, mixes = [], []
+        for p in np.unique(paths):
+            sub = body.filter(pa.array(paths == p))
+            ex = _store_explode(sub, cfg)
+            kh = (np.unique(_group_block_hash(ex)) if ex.num_rows
+                  else np.empty(0, np.uint64))
+            files.append(np.full(
+                len(kh), os.path.relpath(str(p), store_dir), dtype=object))
+            mixes.append(kh)
+        if not files:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "mix": pa.array([], pa.int64())})
+        return pa.table({
+            "file": pa.array(np.concatenate(files).astype(str)),
+            "mix": pa.array(np.concatenate(mixes).view(np.int64)),
+        })
+
+    sfiles = _list_parquet_files(store_dir)
+    with commit_dir(store_index_dir) as tmp:
+        if sfiles:
+            (rd.read_parquet(sfiles, columns=_STORE_KEY_COLS,
+                             include_paths=True)
+             .map_batches(_index_rows, batch_format="pyarrow")
+             .write_parquet(tmp))
+        else:
+            pq.write_table(
+                pa.table({"file": pa.array([], pa.string()),
+                          "mix": pa.array([], pa.int64())}),
+                os.path.join(tmp, "part-0.parquet"))
+
+
+def compact_score_store(prev_run_dir: str, out_dir: str,
+                        cfg: "ScoreConfig | None" = None,
+                        resume: bool = True) -> dict:
+    """Compact a score run's candidate-store CHAIN into one store.
+
+    Each delta run appends its own store/ to the lineage chain; after K
+    deltas a new delta probes K separate store indexes (K small Dataset
+    jobs of fixed cost — ~3 min/day at a year of daily deltas).  This op
+    rewrites the chain as a single store + index + manifest under
+    ``out_dir``, which then serves as ``prev_run_dir`` for later deltas.
+    Pure columnar copy-through: no document is re-parsed or re-minhashed
+    (the store rows already carry the parse + signature), and the rewrite
+    is fragment-parallel with an atomic commit.
+    """
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sievedata.pipelines.validate import _list_parquet_files
+
+    cfg = cfg or ScoreConfig()
+    with open(os.path.join(prev_run_dir, "manifest.json")) as f:
+        lin = _json.load(f).get("lineage", {})
+    store_dirs = list(lin.get("store_dirs", []))
+    if not store_dirs:
+        raise ValueError("previous run has no candidate-store chain")
+    explode_cfg = lin.get("explode_config")
+    cur_cfg = {"n_buckets": cfg.n_buckets, "neartext": cfg.neartext,
+               "neartext_bands": cfg.neartext_bands}
+    if explode_cfg != cur_cfg:
+        raise ValueError(
+            f"compact config mismatch vs chain: {explode_cfg} != {cur_cfg}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    store_dir = os.path.join(out_dir, "store")
+    store_index_dir = os.path.join(out_dir, "store_index")
+    files = [f for d in store_dirs for f in _list_parquet_files(d)]
+    if not (resume and stage_done(store_dir)):
+        with commit_dir(store_dir) as tmp:
+            rd.read_parquet(files).write_parquet(
+                tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
+    if not (resume and stage_done(store_index_dir)):
+        _build_store_index(store_dir, store_index_dir, cfg)
+    manifest = {"lineage": {
+        "compacted_from": store_dirs,
+        "prev_run_dir": prev_run_dir,
+        "store_dirs": [store_dir],
+        "explode_config": cur_cfg,
+        "engine_version": "0.1.0",
+    }}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    n_docs = sum(pq.read_metadata(f).num_rows
+                 for f in _list_parquet_files(store_dir))
+    return {"store": store_dir, "store_index": store_index_dir,
+            "manifest": os.path.join(out_dir, "manifest.json"),
+            "n_docs": int(n_docs), "n_source_dirs": len(store_dirs)}
+
+
 def _prune_store_files(
     store_dirs: list[str], probe: np.ndarray | None, cfg: "ScoreConfig",
 ) -> tuple[list[str], dict]:
@@ -1051,41 +1156,7 @@ def score_documents(
                     tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
         _mark("store_persist")
         if not (resume and stage_done(store_index_dir)):
-            from sievedata.pipelines.validate import _list_parquet_files
-
-            def _index_rows(b: pa.Table) -> pa.Table:
-                paths = b.column("path").to_numpy(zero_copy_only=False)
-                body = b.drop_columns(["path"])
-                files, mixes = [], []
-                for p in np.unique(paths):
-                    sub = body.filter(pa.array(paths == p))
-                    ex = _store_explode(sub, cfg)
-                    kh = (np.unique(_group_block_hash(ex)) if ex.num_rows
-                          else np.empty(0, np.uint64))
-                    files.append(np.full(
-                        len(kh), os.path.relpath(str(p), store_dir),
-                        dtype=object))
-                    mixes.append(kh)
-                if not files:
-                    return pa.table({"file": pa.array([], pa.string()),
-                                     "mix": pa.array([], pa.int64())})
-                return pa.table({
-                    "file": pa.array(np.concatenate(files).astype(str)),
-                    "mix": pa.array(np.concatenate(mixes).view(np.int64)),
-                })
-
-            sfiles = _list_parquet_files(store_dir)
-            with commit_dir(store_index_dir) as tmp:
-                if sfiles:
-                    (rd.read_parquet(sfiles, columns=_STORE_KEY_COLS,
-                                     include_paths=True)
-                     .map_batches(_index_rows, batch_format="pyarrow")
-                     .write_parquet(tmp))
-                else:
-                    pq.write_table(
-                        pa.table({"file": pa.array([], pa.string()),
-                                  "mix": pa.array([], pa.int64())}),
-                        os.path.join(tmp, "part-0.parquet"))
+            _build_store_index(store_dir, store_index_dir, cfg)
         _mark("store_index")
 
     hist_mode = history_path is not None or bool(prev_store_dirs)

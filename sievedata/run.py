@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON config rows [{scope, key, value}, ...] — "
                          "layered resolution vendor:{id} → global → default")
 
+    sc = sub.add_parser("compact")
+    sc.add_argument("--prev-run", required=True,
+                    help="score run_dir whose candidate-store chain to "
+                         "compact into one store")
+    sc.add_argument("--out", required=True, help="compacted run_dir "
+                    "(becomes --prev-run for later deltas)")
+    sc.add_argument("--no-resume", action="store_true")
+
     se = sub.add_parser("export")
     se.add_argument("--input", required=True, help="documents path")
     se.add_argument("--run-dir", required=True, help="score run dir (decisions/)")
@@ -153,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
                 prev_run_dir=args.prev_run,
                 drift_verdicts_path=args.drift_verdicts,
             )
+        elif args.cmd == "compact":
+            from sievedata.pipelines.score import compact_score_store
+
+            out = compact_score_store(args.prev_run, args.out,
+                                      resume=not args.no_resume)
         elif args.cmd == "shard":
             from sievedata.pipelines.shard import shard_corpus
 

@@ -181,3 +181,62 @@ def test_store_chain_scoring_without_store_documents(ray_session, tmp_path):
             os.path.join(base, "run_badcfg"), resume=False,
             prev_run_dir=os.path.join(base, "run_base"),
             cfg=ScoreConfig(neartext_bands=4))
+
+
+def test_compacted_store_chain_equivalence(ray_session, tmp_path):
+    """compact_score_store rewrites a multi-run store chain as ONE store;
+    a delta scored against the compacted store byte-matches the same delta
+    scored against the original chain (and hence the full run)."""
+    import shutil
+
+    from sievedata.fixtures import generate_fixture
+    from sievedata.pipelines.profile import build_profiles
+    from sievedata.pipelines.score import compact_score_store, score_documents
+
+    base = str(tmp_path)
+    generate_fixture(os.path.join(base, "fx"), n_docs=1200, n_vendors=12,
+                     seed=17)
+    prof = build_profiles(
+        os.path.join(base, "fx", "baseline.parquet"),
+        os.path.join(base, "fx", "media_catalog.parquet"),
+        os.path.join(base, "prof"))
+
+    full_dir = os.path.join(base, "docs_full")
+    names = _split_documents(
+        os.path.join(base, "fx", "documents.parquet"), full_dir,
+        fracs=(0.5, 0.3, 0.2))
+    dirs = []
+    for i, n in enumerate(names):
+        d = os.path.join(base, f"docs_{i}")
+        os.makedirs(d)
+        shutil.copy(os.path.join(full_dir, n), os.path.join(d, n))
+        dirs.append(d)
+
+    # chain: base run over part 0, then delta part 1 against it
+    run0 = os.path.join(base, "run0")
+    run1 = os.path.join(base, "run1")
+    score_documents(dirs[0], prof["profiles"], prof["media_bloom"],
+                    run0, resume=False)
+    score_documents(dirs[1], prof["profiles"], prof["media_bloom"],
+                    run1, resume=False, prev_run_dir=run0)
+
+    comp = compact_score_store(run1, os.path.join(base, "compacted"))
+    assert comp["n_source_dirs"] == 2
+
+    # part-2 delta: chain mode vs compacted mode must byte-match
+    run2a = os.path.join(base, "run2_chain")
+    run2b = os.path.join(base, "run2_compacted")
+    score_documents(dirs[2], prof["profiles"], prof["media_bloom"],
+                    run2a, resume=False, prev_run_dir=run1)
+    score_documents(dirs[2], prof["profiles"], prof["media_bloom"],
+                    run2b, resume=False,
+                    prev_run_dir=os.path.join(base, "compacted"))
+    a = _decisions(run2a)
+    b = _decisions(run2b)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b)
+    # the compacted path probed exactly ONE store dir
+    import json
+    with open(os.path.join(run2b, "manifest.json")) as f:
+        lin = json.load(f)["lineage"]
+    assert len(lin["store_dirs"]) == 2  # compacted store + run2b's own
