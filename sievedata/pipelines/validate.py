@@ -769,6 +769,90 @@ def _group_index_dir(checked_dir: str) -> str:
     return os.path.join(os.path.dirname(checked_dir), "group_index")
 
 
+def _build_group_index(checked_dir: str, group_index_dir: str,
+                       cfg: "ValidateConfig") -> None:
+    """Write the dup-group index for a checked layout: one row per
+    (fragment, distinct 64-bit group hash), from one narrow include_paths
+    read.  Empty layouts (empty incremental delta) commit an empty index."""
+    import ray.data as rd
+
+    gi_files = _list_parquet_files(checked_dir)
+    with commit_dir(group_index_dir) as tmp:
+        if gi_files:
+            (rd.read_parquet(gi_files, columns=_mix_columns(cfg),
+                             include_paths=True)
+             .map_batches(_make_group_index_partials(cfg, checked_dir),
+                          batch_format="pyarrow")
+             .write_parquet(tmp))
+        else:
+            pq.write_table(_EMPTY_GROUP_INDEX,
+                           os.path.join(tmp, "part-0.parquet"))
+
+
+def compact_validate_runs(prev_run_dir: str, out_dir: str,
+                          cfg: "ValidateConfig | None" = None,
+                          resume: bool = True) -> dict:
+    """Compact an incremental validate CHAIN into one base run dir.
+
+    Each delta run appends its checked/ + group_index/ to the chain; after
+    K deltas the dup checks read K checked layouts and probe K indexes.
+    This op rewrites the chain's checked fragments as ONE layout (pure
+    fragment-parallel columnar copy — no document re-parsed), rebuilds one
+    group index over it, and carries forward the latest run's CUMULATIVE
+    partials.parquet / vio_counts.parquet / verdicts.parquet and lineage
+    (input_files already spans the whole chain).  The result serves as
+    ``prev_run_dir`` for later deltas with identical output."""
+    import shutil
+
+    import ray.data as rd
+
+    cfg = cfg or ValidateConfig()
+    with open(os.path.join(prev_run_dir, "manifest.json")) as f:
+        prev_manifest = json.load(f)
+    lin = prev_manifest.get("lineage", {})
+    chain = list(lin.get("checked_dirs", []))
+    if not chain:
+        raise ValueError("previous run has no checked chain to compact")
+    prev_cfg = lin.get("config", {})
+    cur_cfg = {
+        "z_threshold": cfg.z_threshold, "po_pct_tol": cfg.po_pct_tol,
+        "po_window_days": cfg.po_window_days,
+        "psi_threshold": cfg.psi_threshold,
+        "uniqueness_min_ratio": cfg.uniqueness_min_ratio,
+        "neartext": cfg.neartext, "neartext_bands": cfg.neartext_bands,
+    }
+    if set(prev_cfg) < set(cur_cfg):
+        cur_cfg = {k: v for k, v in cur_cfg.items() if k in prev_cfg}
+    if prev_cfg != cur_cfg:
+        raise ValueError(
+            f"compact config mismatch vs chain: {prev_cfg} != {cur_cfg}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    checked_dir = os.path.join(out_dir, "checked")
+    files = [f for d in chain for f in _list_parquet_files(d)]
+    if not (resume and stage_done(checked_dir)):
+        with commit_dir(checked_dir) as tmp:
+            rd.read_parquet(files).write_parquet(
+                tmp, arrow_parquet_args_fn=lambda: {"compression": "lz4"})
+    gi_dir = _group_index_dir(checked_dir)
+    if not (resume and stage_done(gi_dir)):
+        _build_group_index(checked_dir, gi_dir, cfg)
+    # the latest run's reduced artifacts are already chain-cumulative
+    for art in ("partials.parquet", "vio_counts.parquet",
+                "verdicts.parquet"):
+        shutil.copyfile(os.path.join(prev_run_dir, art),
+                        os.path.join(out_dir, art))
+    manifest = dict(prev_manifest)
+    manifest["lineage"] = {**lin, "checked_dirs": [checked_dir],
+                           "compacted_from": chain,
+                           "prev_run_dir": prev_run_dir}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return {"checked": checked_dir, "group_index": gi_dir,
+            "manifest": os.path.join(out_dir, "manifest.json"),
+            "n_source_dirs": len(chain)}
+
+
 def _prune_history_files(
     prev_checked_dirs: list[str], delta_checked_dir: str,
     cfg: "ValidateConfig",
@@ -1525,19 +1609,7 @@ def validate_documents(
     # fragments, embarrassingly parallel, no shuffle.
     group_index_dir = _group_index_dir(checked_dir)
     if cfg.group_index and not (resume and stage_done(group_index_dir)):
-        import ray.data as rd
-
-        gi_files = _list_parquet_files(checked_dir)
-        with commit_dir(group_index_dir) as tmp:
-            if gi_files:
-                (rd.read_parquet(gi_files, columns=_mix_columns(cfg),
-                                 include_paths=True)
-                 .map_batches(_make_group_index_partials(cfg, checked_dir),
-                              batch_format="pyarrow")
-                 .write_parquet(tmp))
-            else:  # empty delta: commit an empty index
-                pq.write_table(_EMPTY_GROUP_INDEX,
-                               os.path.join(tmp, "part-0.parquet"))
+        _build_group_index(checked_dir, group_index_dir, cfg)
     if cfg.group_index:
         _mark("stage1b_group_index")
 

@@ -85,10 +85,13 @@ def main(argv: list[str] | None = None) -> int:
 
     sc = sub.add_parser("compact")
     sc.add_argument("--prev-run", required=True,
-                    help="score run_dir whose candidate-store chain to "
-                         "compact into one store")
+                    help="run_dir whose incremental chain to compact")
     sc.add_argument("--out", required=True, help="compacted run_dir "
                     "(becomes --prev-run for later deltas)")
+    sc.add_argument("--kind", choices=("score", "validate"),
+                    default="score",
+                    help="score: candidate-store chain; validate: checked "
+                         "layout + group-index chain")
     sc.add_argument("--no-resume", action="store_true")
 
     se = sub.add_parser("export")
@@ -162,10 +165,16 @@ def main(argv: list[str] | None = None) -> int:
                 drift_verdicts_path=args.drift_verdicts,
             )
         elif args.cmd == "compact":
-            from sievedata.pipelines.score import compact_score_store
+            if args.kind == "validate":
+                from sievedata.pipelines.validate import compact_validate_runs
 
-            out = compact_score_store(args.prev_run, args.out,
-                                      resume=not args.no_resume)
+                out = compact_validate_runs(args.prev_run, args.out,
+                                            resume=not args.no_resume)
+            else:
+                from sievedata.pipelines.score import compact_score_store
+
+                out = compact_score_store(args.prev_run, args.out,
+                                          resume=not args.no_resume)
         elif args.cmd == "shard":
             from sievedata.pipelines.shard import shard_corpus
 

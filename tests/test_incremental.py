@@ -281,3 +281,34 @@ def test_incremental_banding_mismatch_fails(inc_env):
             os.path.join(base, "run_badbands"), resume=False,
             prev_run_dir=os.path.join(base, "run_a"),
             cfg=ValidateConfig(neartext_bands=4))
+
+
+def test_compacted_validate_chain_equivalence(inc_env):
+    """compact_validate_runs rewrites a multi-run checked chain as one
+    base run; the next delta against the compacted base produces the SAME
+    violations and verdicts as the chain-mode delta (run_c, already proven
+    equal to the full run)."""
+    from sievedata.pipelines.validate import compact_validate_runs
+
+    prof = inc_env["prof"]
+    base = inc_env["base"]
+    if not os.path.exists(os.path.join(base, "run_c")):
+        pytest.skip("chain test did not run")
+    validate_documents = inc_env["validate"]
+
+    comp = compact_validate_runs(
+        os.path.join(base, "run_b"), os.path.join(base, "compacted"))
+    assert comp["n_source_dirs"] == 2
+
+    run_cc = validate_documents(
+        inc_env["grow_dir"], prof["profiles"], prof["media_bloom"],
+        os.path.join(base, "run_c_compacted"), resume=False,
+        prev_run_dir=os.path.join(base, "compacted"))
+    pd.testing.assert_frame_equal(
+        _violations(os.path.join(base, "run_c_compacted")),
+        _violations(os.path.join(base, "run_c")))
+    pd.testing.assert_frame_equal(
+        _verdicts(run_cc["verdicts"]), _verdicts(inc_env["run_full"]["verdicts"]))
+    # the compacted base presents ONE checked dir + ONE index to the delta
+    stats = run_cc["timings"]["stage2_index_probe_stats"]
+    assert stats["runs"] == 1 and stats["indexed_runs"] == 1
