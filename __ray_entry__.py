@@ -63,8 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents for every SQL-expressible entry
-    in ``queries()``; non-SQL ops (lang-ID, MinHash LSH, SimHash,
-    fingerprints, media decode) are intentionally omitted → rows-only check."""
+    in ``queries()`` (96 of 110, incl. lang-ID via profile-literal VALUES
+    and MinHash near-dups via integer-ppm exact verification); genuinely
+    non-SQL ops (SimHash tables, splitmix fingerprints, media decode,
+    k-means, the flagship/incremental pipelines) are intentionally
+    omitted → rows-only check."""
     from sievedata.queries import oracle_sql as _o
 
     return _o()
